@@ -1,0 +1,19 @@
+"""mvip_tpu — TPU-native multi-view 3D NeRF inpainting framework.
+
+A brand-new JAX / XLA / Pallas / pjit implementation of the capability surface of
+MVIP-NeRF (CVPR 2024, reference: chenhonghua/MVIP-NeRF): depth-supervised NeRF
+fitting of masked multi-view scenes with score-distillation (SDS) guidance from a
+Stable-Diffusion inpainting prior on rendered RGB, rendered normal maps, and
+collaboratively across neighboring views.
+
+Design is TPU-first, not a port:
+  * device-resident ray pools sampled with `jax.random` inside one jitted train step
+    (no host DataLoader loop),
+  * static shapes everywhere; chunking via `lax.map` where needed,
+  * data parallelism over a `jax.sharding.Mesh` (ICI/DCN collectives inserted by XLA),
+  * Pallas megakernels for the render inner loop (fused hierarchical sampling,
+    hash-grid encoding, fused MLP eval),
+  * bf16-friendly layouts sized for the MXU.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,233 @@
+"""Experiment configuration.
+
+Replaces the reference's configargparse flag soup (`DS_NeRF/run.py:52-306`) with a
+typed dataclass. Field names deliberately match the reference flags so the shipped
+config files (`DS_NeRF/config/config_1.txt`) parse unchanged: `key = value` lines,
+precedence CLI > config file > defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # --- experiment / io (run.py:56-66) ---
+    config: Optional[str] = None
+    expname: str = "exp"
+    basedir: str = "./logs"
+    datadir: str = "./data/1"
+
+    # --- network arch (run.py:68-78) ---
+    netdepth: int = 8
+    netwidth: int = 256
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+    no_tcnn: bool = False          # False => hash-grid backbone (reference default)
+
+    # --- ray batching / chunking (run.py:79-86) ---
+    N_rand: int = 1024             # rays per gradient step
+    lrate: float = 5e-4
+    lrate_decay: int = 250         # lr decays 0.1 every lrate_decay*1000 steps
+    chunk: int = 1024 * 32         # rays processed per render chunk
+    netchunk: int = 1024 * 64      # points per network chunk (unused on TPU: fused)
+    no_batching: bool = False
+    no_reload: bool = False
+    ft_path: Optional[str] = None
+
+    # --- rendering (run.py:100-140) ---
+    N_samples: int = 64
+    N_importance: int = 0
+    perturb: float = 1.0
+    use_viewdirs: bool = True
+    i_embed: int = 0               # 0: positional encoding, -1: identity
+    multires: int = 10
+    multires_views: int = 4
+    raw_noise_std: float = 0.0
+    render_only: bool = False
+    render_test: bool = False
+    render_test_ray: bool = False
+    render_train: bool = False
+    render_mypath: bool = False
+    render_factor: int = 0
+    seed: int = 0
+
+    # --- dataset (run.py:143-170) ---
+    dataset_type: str = "llff"     # llff | blender | dtu | nerd
+    testskip: int = 8
+    white_bkgd: bool = False
+    half_res: bool = False
+    factor: int = 8
+    no_ndc: bool = False
+    lindisp: bool = False
+    spherify: bool = False
+    llffhold: int = 0
+    train_scene: Optional[List[int]] = None
+    test_scene: Optional[List[int]] = None
+    N_gt: int = 0
+    N_train: Optional[int] = None
+    train_gt: bool = False
+    prepare: bool = False
+    object_removal: bool = False
+
+    # --- depth supervision (run.py:183-200) ---
+    colmap_depth: bool = False
+    depth_loss: bool = False
+    depth_lambda: float = 0.1
+    sigma_loss: bool = False
+    sigma_lambda: float = 0.1
+    weighted_loss: bool = False
+    relative_loss: bool = False
+    no_coarse: bool = False
+
+    # --- guidance / SDS (run.py:210-260; nerf/utils.py) ---
+    text: Optional[str] = None
+    text_depth: Optional[str] = None
+    text_normal: Optional[str] = None
+    negative: str = ""
+    guidance: str = "SD"           # 'SD' and/or 'clip' (comma separated)
+    is_rgb_guidance: bool = False
+    rgb_guidance_scale: float = 7.5
+    is_normal_guidance: bool = False
+    normal_guidance_scale: float = 1.5
+    normal_start: int = 500
+    is_colla_guidance: bool = False
+    colla_guidance_scale: float = 7.5
+    is_crop: bool = False
+    sds_loss: bool = False
+    sds_loss_weight: float = 1e-4
+    sd_version: str = "inpaint"    # stable-diffusion inpainting checkpoint family
+    fp16: bool = True              # bf16 on TPU
+    normalmap_render_factor: int = 7
+    # orbit-pose sampling ranges (nerf/utils.py rand_poses defaults)
+    radius_range: List[float] = field(default_factory=lambda: [1.0, 1.5])
+    theta_range: List[float] = field(default_factory=lambda: [45.0, 105.0])
+    phi_range: List[float] = field(default_factory=lambda: [-180.0, 180.0])
+    angle_overhead: float = 30.0
+    angle_front: float = 60.0
+    progressive_view: bool = False
+    progressive_level: bool = False
+
+    # --- training loop (run.py:262-306) ---
+    N_iters: int = 10000
+    first_stage: bool = False
+    second_stage: bool = True
+    i_print: int = 100
+    i_img: int = 500
+    i_weights: int = 10000
+    i_testset: int = 2000
+    i_video: int = 50000
+    i_feat: int = 1000000
+    feat_weight: float = 0.1
+    lpips: bool = False
+    debug: bool = False
+
+    # --- TPU-native additions (not in reference) ---
+    mesh_shape: Optional[List[int]] = None   # data-parallel mesh; None = all devices
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"           # bfloat16 for max MXU throughput
+    use_pallas: bool = True                  # Pallas kernels on TPU hot paths
+    max_masked_pixels: int = 0               # 0 = auto (max over train views, padded)
+    gui: bool = False                        # reference spawns tkinter unconditionally
+    profile_dir: Optional[str] = None        # jax.profiler trace output
+    log_every: int = 100
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_BOOL_TRUE = {"true", "1", "yes", "on"}
+_BOOL_FALSE = {"false", "0", "no", "off", "none"}
+
+
+def _coerce(name: str, raw: str, ftype):
+    raw = raw.strip()
+    origin = getattr(ftype, "__origin__", None)
+    if ftype is bool:
+        low = raw.lower()
+        if low in _BOOL_TRUE:
+            return True
+        if low in _BOOL_FALSE:
+            return False
+        raise ValueError(f"config field {name!r}: cannot parse bool from {raw!r}")
+    if ftype is int:
+        return int(raw)
+    if ftype is float:
+        return float(raw)
+    if ftype is str:
+        return raw
+    # Optional[X] → X (or None)
+    if origin is not None and origin.__name__ == "Union" or str(ftype).startswith("typing.Optional"):
+        args = [a for a in ftype.__args__ if a is not type(None)]
+        if raw.lower() in _BOOL_FALSE and args[0] is not str:
+            return None
+        return _coerce(name, raw, args[0])
+    if origin in (list, List) or str(ftype).startswith("typing.List"):
+        elem = ftype.__args__[0]
+        raw = raw.strip("[]")
+        return [_coerce(name, tok, elem) for tok in raw.replace(",", " ").split()]
+    raise ValueError(f"config field {name!r}: unsupported type {ftype}")
+
+
+def parse_config_file(path: str) -> dict:
+    """Parse a reference-style `key = value` config file (config_1.txt format)."""
+    fields = {f.name: f.type for f in dataclasses.fields(Config)}
+    # dataclass stores string annotations under `from __future__ import annotations`
+    import typing
+
+    hints = typing.get_type_hints(Config)
+    out = {}
+    with open(path) as fh:
+        for lineno, line in enumerate(fh, 1):
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" not in line:
+                raise ValueError(f"{path}:{lineno}: expected 'key = value', got {line!r}")
+            key, val = (tok.strip() for tok in line.split("=", 1))
+            if key not in fields:
+                # unknown reference flags are warned about, not fatal
+                continue
+            out[key] = _coerce(key, val, hints[key])
+    return out
+
+
+def load_config(argv: Optional[List[str]] = None) -> Config:
+    """CLI entry: `--config file.txt` plus `--<field> value` overrides."""
+    import typing
+
+    hints = typing.get_type_hints(Config)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", type=str, default=None)
+    known, _ = pre.parse_known_args(argv)
+
+    values = {}
+    if known.config:
+        values.update(parse_config_file(known.config))
+        values["config"] = known.config
+
+    parser = argparse.ArgumentParser("mvip_tpu")
+    for f in dataclasses.fields(Config):
+        parser.add_argument(f"--{f.name}", type=str, default=None)
+    ns = parser.parse_args(argv)
+    for f in dataclasses.fields(Config):
+        raw = getattr(ns, f.name)
+        if raw is not None and f.name != "config":
+            values[f.name] = _coerce(f.name, raw, hints[f.name])
+    return Config(**values)
+
+
+def save_config(cfg: Config, expdir: str) -> None:
+    """Write args.txt + config copy into the experiment dir (run.py:526-538 parity)."""
+    os.makedirs(expdir, exist_ok=True)
+    with open(os.path.join(expdir, "args.txt"), "w") as fh:
+        for f in sorted(dataclasses.fields(Config), key=lambda f: f.name):
+            fh.write(f"{f.name} = {getattr(cfg, f.name)}\n")
+    if cfg.config and os.path.exists(cfg.config):
+        with open(cfg.config) as src, open(os.path.join(expdir, "config.txt"), "w") as dst:
+            dst.write(src.read())
