@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Canonical-workload training benchmark.
+
+Workload pinned to the reference config (`DS_NeRF/config/config_1.txt`, BASELINE.md):
+N_rand=1024 rays/step, 64 coarse + 64 importance samples, coarse+fine backbones,
+MSE + depth losses, Adam update — one full jitted train step per iteration.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` compares the PE-MLP backbone (like-for-like math) against the measured
+PyTorch reference implementation on this host (see BASELINE.md "measured" section;
+tools/torch_baseline.py reproduces the reference's exact per-step compute).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_RAND = 1024
+N_SAMPLES = 64
+N_IMPORTANCE = 64
+WARMUP = 5
+ITERS = 30
+
+# Measured on this host via tools/torch_baseline.py (PyTorch CPU, identical
+# workload & model). Updated whenever the baseline is re-measured.
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+
+
+def _scene(n_views=8, H=128, W=128, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(0, 1, (n_views, H, W, 3)).astype(np.float32)
+    masks = np.zeros((n_views, H, W), np.float32)
+    masks[:, H // 3 : 2 * H // 3, W // 3 : 2 * W // 3] = 1.0
+    depths = rng.uniform(0, 1, (n_views, H, W)).astype(np.float32)
+    poses = np.zeros((n_views, 3, 4), np.float32)
+    for v in range(n_views):
+        th = v * 0.3
+        c, s = np.cos(th), np.sin(th)
+        poses[v, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[v, :3, 3] = [s * 4, 0, c * 4]
+    return images, masks, depths, poses, 100.0
+
+
+def bench_backbone(backbone: str) -> float:
+    import jax
+
+    from mvip_tpu.data.rays import build_ray_streams
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import DeviceStreams, StepConfig, make_train_step
+
+    images, masks, depths, poses, focal = _scene()
+    streams = build_ray_streams(images, masks, depths, poses, focal)
+    H, W = images.shape[1:3]
+
+    key = jax.random.PRNGKey(0)
+    if backbone == "mlp":
+        from mvip_tpu.models.nerf_mlp import (
+            NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp,
+        )
+
+        mcfg = NeRFMLPConfig()  # 8x256, PE 10/4 — the reference --no_tcnn model
+        params = {
+            "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg),
+            "fine": init_nerf_mlp(jax.random.PRNGKey(2), mcfg),
+        }
+        apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg, pts, vd)
+        fine_fn = apply_fn
+    elif backbone == "hashgrid":
+        from mvip_tpu.models.nerf_hashgrid import (
+            HashGridConfig, apply_hashgrid_nerf, init_hashgrid_nerf,
+        )
+
+        hcfg = HashGridConfig()  # tcnn-parity config — the reference default model
+        params = {
+            "coarse": init_hashgrid_nerf(jax.random.PRNGKey(1), hcfg),
+            "fine": init_hashgrid_nerf(jax.random.PRNGKey(2), hcfg),
+        }
+        apply_fn = lambda p, pts, vd: apply_hashgrid_nerf(p, hcfg, pts, vd)
+        fine_fn = apply_fn
+    else:
+        raise ValueError(backbone)
+
+    ropts = RenderOptions(
+        n_samples=N_SAMPLES, n_importance=N_IMPORTANCE, perturb=1.0,
+        lindisp=True, raw_noise_std=1.0, white_bkgd=True,
+    )
+    scfg = StepConfig(
+        n_rand=N_RAND, depth_loss=True, depth_lambda=0.1,
+        near=1.2, far=7.7, H=H, W=W, focal=focal,
+    )
+    optimizer = make_optimizer(3e-3, 10)
+    state = create_train_state(params, optimizer)
+    step = make_train_step(scfg, ropts, apply_fn, fine_fn, optimizer)
+    ds = DeviceStreams.from_host(streams)
+
+    for i in range(WARMUP):
+        state, metrics = step(state, ds, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, ds, jax.random.fold_in(key, WARMUP + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return ITERS * N_RAND / dt
+
+
+def main():
+    mlp_rate = bench_backbone("mlp")
+    hash_rate = bench_backbone("hashgrid")
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            baseline = json.load(fh).get("torch_cpu_mlp_rays_per_sec")
+
+    result = {
+        "metric": "train_rays_per_sec (1024 rays, 64+64 samples, coarse+fine, full step)",
+        "value": round(mlp_rate, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(mlp_rate / baseline, 2) if baseline else None,
+        "hashgrid_rays_per_sec": round(hash_rate, 1),
+        "baseline_torch_cpu_rays_per_sec": baseline,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,3 +17,25 @@ Design is TPU-first, not a port:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persist compiled executables across processes. The tunneled-TPU remote
+    compiler takes minutes cold for the fused train step; the persistent cache
+    cuts warm starts to seconds."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "MVIP_JAX_CACHE", os.path.expanduser("~/.cache/mvip_jax_cache")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

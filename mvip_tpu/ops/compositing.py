@@ -68,7 +68,12 @@ def composite(
 
     depth = jnp.sum(weights * z_vals, -1)
     acc = jnp.sum(weights, -1)
-    disp = 1.0 / jnp.maximum(1e-10, depth / acc)
+    # Reference: disp = 1/max(1e-10, depth/acc) (`run_nerf_helpers.py:387`), which is
+    # NaN for empty rays (acc=0 -> 0/0); the reference masks this hazard with
+    # raw_noise_std=1. Robust form: empty rays get disparity 0 ("infinitely far"),
+    # identical values elsewhere.
+    mean_depth = depth / jnp.maximum(acc, 1e-10)
+    disp = jnp.where(acc > 1e-8, 1.0 / jnp.maximum(1e-10, mean_depth), 0.0)
 
     if white_bkgd:
         rgb_map = rgb_map + (1.0 - acc[..., None])

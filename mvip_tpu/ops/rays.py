@@ -38,3 +38,26 @@ def rays_at_coords(H: int, W: int, focal, c2w: jnp.ndarray, coords_xy: jnp.ndarr
     rays_d = ray_directions(coords_xy, focal, H, W, c2w)
     rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)
     return rays_o, rays_d
+
+
+def rays_at_view_coords(
+    poses: jnp.ndarray,
+    view_idx: jnp.ndarray,
+    coords_xy: jnp.ndarray,
+    H: int,
+    W: int,
+    focal,
+):
+    """Batched rays across views: poses [V, 3, 4], view_idx [N], coords_xy [N, 2].
+
+    The device-side core of the implicit ray pool (`mvip_tpu.data.rays`): rays are
+    regenerated from (view, pixel) indices inside the jitted train step instead of
+    being materialized in HBM.
+    """
+    c2w = poses[view_idx]                                 # [N, 3, 4]
+    x, y = coords_xy[..., 0], coords_xy[..., 1]
+    dirs = jnp.stack(
+        [(x - W * 0.5) / focal, -(y - H * 0.5) / focal, -jnp.ones_like(x)], -1
+    )
+    rays_d = jnp.einsum("nj,nij->ni", dirs, c2w[:, :3, :3])
+    return c2w[:, :3, 3], rays_d

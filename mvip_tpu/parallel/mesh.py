@@ -1,0 +1,54 @@
+"""Device mesh + sharding helpers — the distributed backbone.
+
+The reference's entire distributed story is single-process `nn.DataParallel`
+(`DS_NeRF/run.py:43-46, 1491-1527`: replicate module, scatter batch, gather).
+TPU-native replacement: a 1-D `Mesh('data')` over all chips; params replicated,
+ray batches sharded on the leading axis; XLA emits `psum` over ICI for the gradient
+all-reduce inside the single jitted step. Multi-host scale-out (DCN across slices)
+uses the same program after `jax.distributed.initialize`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), (axis,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_leading(tree, mesh: Mesh, axis: str = "data"):
+    """Shard every leaf's leading dim over the mesh axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(tree, sharding)
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Multi-host (DCN) init — no-op in single-process runs."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return -(-n // m) * m

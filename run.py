@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""mvip_tpu CLI — entry point mirroring `DS_NeRF/run.py`'s config files.
+
+Usage:
+    python run.py --config configs/spinnerf_scene1.txt [--flag value ...]
+
+Modes:
+    default        train (second-stage MVIP-NeRF loop; guidance per config flags)
+    --render_only  render the spiral path / test set from the latest checkpoint
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from functools import partial
+
+import numpy as np
+
+from mvip_tpu.config import load_config
+
+
+def main(argv=None):
+    cfg = load_config(argv)
+    print(f"experiment {cfg.expname}: dataset={cfg.dataset_type} dir={cfg.datadir}")
+
+    if cfg.render_only:
+        import jax
+
+        from mvip_tpu.eval.render_path import render_pose_list
+        from mvip_tpu.train.checkpoint import CheckpointManager
+        from mvip_tpu.train.loop import setup_experiment
+        from mvip_tpu.train.state import create_train_state, make_optimizer
+        from mvip_tpu.utils.imaging import save_video
+
+        exp = setup_experiment(cfg)
+        expdir = os.path.join(cfg.basedir, cfg.expname)
+        state = create_train_state(
+            exp.init_params, make_optimizer(cfg.lrate, cfg.lrate_decay)
+        )
+        ckpt = CheckpointManager(os.path.join(expdir, "ckpt"))
+        state = ckpt.restore(state)
+        step = int(state.step)
+        print(f"rendering from checkpoint step {step}")
+
+        H, W, focal = exp.hwf
+        coarse_fn = partial(exp.coarse_apply, state.params["coarse"])
+        fine_fn = (
+            partial(exp.fine_apply, state.params["fine"])
+            if exp.fine_apply is not None and state.params.get("fine") is not None
+            else None
+        )
+        import dataclasses
+
+        savedir = os.path.join(expdir, f"renderonly_{step:06d}")
+        ropts = dataclasses.replace(exp.ropts, perturb=0.0, raw_noise_std=0.0)
+        outs = render_pose_list(
+            exp.render_poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn,
+            ropts, render_factor=cfg.render_factor, chunk=cfg.chunk,
+            savedir=savedir, key=jax.random.PRNGKey(0),
+        )
+        save_video(os.path.join(savedir, "rgb.mp4"), outs["rgb"])
+        disp = outs["disp"]
+        disp[np.isnan(disp)] = 0
+        save_video(
+            os.path.join(savedir, "disp.mp4"), disp / max(np.percentile(disp, 95), 1e-8)
+        )
+        print("done rendering to", savedir)
+        return
+
+    from mvip_tpu.train.loop import train
+
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
