@@ -110,8 +110,23 @@ class Config:
     phi_range: List[float] = field(default_factory=lambda: [-180.0, 180.0])
     angle_overhead: float = 30.0
     angle_front: float = 60.0
+    uniform_sphere_rate: float = 0.5
+    default_azimuth: float = 0.0
+    default_polar: float = 90.0
+    default_radius: float = 1.2
+    lambda_guidance: float = 1.0
     progressive_view: bool = False
+    progressive_view_init_ratio: float = 0.2
     progressive_level: bool = False
+    exp_start_iter: int = 0
+    exp_end_iter: int = 10000
+    # perp-neg directional prompting (nerf/utils.py:34-74)
+    front_decay_factor: float = 2.0
+    side_decay_factor: float = 2.0
+    negative_w: float = -2.0
+    # local checkpoint dirs for guidance weights (zero-egress environment)
+    sd_weights: Optional[str] = None     # dir with SD-inpainting unet/vae/text .safetensors
+    clip_weights: Optional[str] = None
 
     # --- training loop (run.py:262-306) ---
     N_iters: int = 10000

@@ -1,0 +1,193 @@
+"""NN building blocks for the guidance nets (VAE / UNet / CLIP) — pure JAX, NHWC.
+
+TPU-first layout decisions:
+- NHWC activations: channels ride the 128-lane axis, convs lower to MXU matmuls.
+- All matmuls/convs take `preferred_element_type=float32` so bf16 params still
+  accumulate in fp32 on the MXU.
+- Attention is `einsum`-based (batched MXU matmuls), no flash tricks needed at
+  SD sizes (64x64 latents -> 4096 tokens max).
+
+Parity notes: the math of each block matches the corresponding Stable Diffusion
+component consumed by the reference through diffusers
+(`DS_NeRF/guidance/sd_utils.py:69-88`); layout (NHWC, [in,out] weight matrices)
+and implementation are TPU-native, not a port.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# initializers
+
+
+def linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound),
+        "b": jax.random.uniform(kb, (fan_out,), dtype, -bound, bound),
+    }
+
+
+def conv_init(key, kh: int, kw: int, c_in: int, c_out: int, dtype=jnp.float32) -> Params:
+    """Weights stored HWIO (NHWC-native conv layout)."""
+    k1, k2 = jax.random.split(key)
+    fan_in = kh * kw * c_in
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(k1, (kh, kw, c_in, c_out), dtype, -bound, bound),
+        "b": jax.random.uniform(k2, (c_out,), dtype, -bound, bound),
+    }
+
+
+def norm_init(channels: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((channels,), dtype), "bias": jnp.zeros((channels,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# primitives
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """MXU matmul with fp32 accumulation; output stays in the activation dtype."""
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y + p["b"]).astype(x.dtype)
+
+
+def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME") -> jnp.ndarray:
+    """x [N,H,W,C]; weights HWIO; fp32 accumulation, activation-dtype output."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + p["b"]).astype(x.dtype)
+
+
+def group_norm(p: Params, x: jnp.ndarray, groups: int = 32, eps: float = 1e-5):
+    """x [..., C]; normalizes over spatial dims + channels-within-group."""
+    c = x.shape[-1]
+    g = min(groups, c)
+    while c % g:
+        g -= 1
+    shape, dtype = x.shape, x.dtype
+    xg = x.astype(jnp.float32).reshape(shape[0], -1, g, c // g)  # [N, HW, G, C/G]
+    mean = xg.mean((1, 3), keepdims=True)
+    var = xg.var((1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = xg.reshape(shape) * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32) \
+        + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def quick_gelu(x):
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+# ---------------------------------------------------------------------------
+# attention
+
+
+def attn_init(key, query_dim: int, heads: int, dim_head: int,
+              context_dim: Optional[int] = None, dtype=jnp.float32) -> Params:
+    context_dim = context_dim or query_dim
+    inner = heads * dim_head
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "q": linear_init(k1, query_dim, inner, dtype),
+        "k": linear_init(k2, context_dim, inner, dtype),
+        "v": linear_init(k3, context_dim, inner, dtype),
+        "o": linear_init(k4, inner, query_dim, dtype),
+    }
+
+
+def attention(
+    p: Params,
+    x: jnp.ndarray,                       # [B, Tq, C]
+    context: Optional[jnp.ndarray] = None,  # [B, Tk, Cc]
+    heads: int = 8,
+    mask: Optional[jnp.ndarray] = None,   # [Tq, Tk] additive
+) -> jnp.ndarray:
+    context = x if context is None else context
+    q, k, v = linear(p["q"], x), linear(p["k"], context), linear(p["v"], context)
+    B, Tq, inner = q.shape
+    Tk = k.shape[1]
+    dh = inner // heads
+    q = q.reshape(B, Tq, heads, dh)
+    k = k.reshape(B, Tk, heads, dh)
+    v = v.reshape(B, Tk, heads, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(dh)
+    if mask is not None:
+        logits = logits + mask
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v, preferred_element_type=jnp.float32)
+    return linear(p["o"], out.reshape(B, Tq, inner).astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# timestep embedding
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True) -> jnp.ndarray:
+    """Sinusoidal embedding, SD convention (freq_shift=0, [cos|sin] order)."""
+    t = jnp.atleast_1d(t).astype(jnp.float32)
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    ang = t[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(ang), jnp.cos(ang)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], -1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# resizing (torch.nn.functional.interpolate equivalents)
+
+
+def resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """align_corners=False bilinear (half-pixel centers — jax.image default).
+
+    Matches `F.interpolate(..., mode='bilinear', align_corners=False)` at the
+    reference's guidance entry (`sd_utils.py:282-284`).
+    """
+    return jax.image.resize(x, (*x.shape[:-3], h, w, x.shape[-1]), method="bilinear")
+
+
+def resize_nearest(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Mask downsample to latent resolution (diffusers prepare_mask_latents)."""
+    return jax.image.resize(x, (*x.shape[:-3], h, w, x.shape[-1]), method="nearest")
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    return jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c)).reshape(
+        n, 2 * h, 2 * w, c
+    )
