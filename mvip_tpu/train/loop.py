@@ -255,9 +255,29 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         state = replicate(state, mesh)
         jax.block_until_ready(streams_dev.images)
         phase("data resident on device mesh")
-        train_step = make_train_step(
-            exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply, optimizer
-        )
+
+        from mvip_tpu.train.guidance_setup import build_guidance, needs_guidance
+
+        use_guidance = needs_guidance(cfg) and cfg.second_stage
+        if use_guidance:
+            from mvip_tpu.train.mvip_step import make_mvip_train_step
+
+            gm, mcfg, (s_rgb, s_nrm, s_col), pair_rgb, pair_nrm = build_guidance(cfg)
+            if not cfg.sd_weights:
+                log_fn(
+                    "WARNING: no --sd_weights checkpoint dir; using a tiny "
+                    "random-init diffusion stack (pipeline smoke mode, no "
+                    "semantic guidance)"
+                )
+            train_step = make_mvip_train_step(
+                exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply, optimizer,
+                mcfg, gm, s_rgb, s_nrm, s_col, pair_rgb, pair_nrm,
+            )
+            phase("guidance models resident (SDS on)")
+        else:
+            train_step = make_train_step(
+                exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply, optimizer
+            )
 
         n_iters = (max_steps or cfg.N_iters) + 1
         timer = StepTimer(cfg.N_rand)
@@ -267,18 +287,32 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         with maybe_trace(cfg.profile_dir):
             for i in range(start, n_iters):
                 key = jax.random.fold_in(base_key, i)
-                state, metrics = train_step(state, streams_dev, key)
+                if use_guidance:
+                    state, metrics = train_step(
+                        state, streams_dev, key, jnp.asarray(i, jnp.int32)
+                    )
+                else:
+                    state, metrics = train_step(state, streams_dev, key)
                 if i % cfg.i_print == 0:
                     # ONE stacked fetch: per-leaf device_get costs seconds of
                     # relay latency on tunneled TPUs (measured 4.2s for the dict
                     # vs 0.37s for a single scalar)
-                    keys_m = ("loss", "img_loss", "depth_loss", "psnr")
+                    keys_m = tuple(
+                        k for k in ("loss", "img_loss", "depth_loss", "psnr",
+                                    "sds_rgb", "sds_normal", "sds_colla")
+                        if k in metrics
+                    )
                     vals = np.asarray(jnp.stack([metrics[k] for k in keys_m]))
                     m = dict(zip(keys_m, vals))
                     rate = timer.tick()
+                    extra = "".join(
+                        f" {k.replace('sds_', 'sds:')}={m[k]:.4f}"
+                        for k in keys_m if k.startswith("sds_")
+                    )
                     log_fn(
                         f"[step {i}] loss={m['loss']:.5f} img={m['img_loss']:.5f} "
                         f"depth={m['depth_loss']:.5f} psnr={m['psnr']:.2f}"
+                        + extra
                         + (f" rays/s={rate:,.0f}" if rate else "")
                     )
                 else:

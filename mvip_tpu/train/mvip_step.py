@@ -1,0 +1,219 @@
+"""The full MVIP-NeRF (second-stage) train step: NeRF losses + SDS guidance.
+
+Parity target: the guidance-on iteration body (`DS_NeRF/run.py:862-1031`):
+  1. pick a random train view, render ALL its masked pixels (`run.py:869-886,919`)
+  2. composite the full image: GT pixels outside the mask, rendered pixels
+     inside (`run.py:923-931`) -> RGB SDS (`nerf/utils.py:287-290`)
+  3. optionally render the view downsampled by `normalmap_render_factor`,
+     back-project depth -> 31x31 plane-fit normal map -> normal SDS
+     (`run.py:948-965`, `nerf/utils.py:298-302`)
+  4. optionally render <=5 neighboring views (window +-4 step 2 around
+     `i % n_views`) -> collaborative SDS (`run.py:968-975,1365-1401`)
+  5. unmasked-pixel MSE + inpainted-depth disparity MSE (base losses)
+  6. total = base + sds_loss_weight * guidance; Adam step (`run.py:996-1031`)
+
+TPU-first: ALL of it — three renders, VAE encodes, UNet CFG passes, the SDS
+custom-VJP, and the optimizer update — is ONE jitted XLA program. The training
+iteration `i` is a traced scalar (timestep annealing, neighbor-window position,
+normal-start gating via `jnp.where`), so a single compilation serves the whole
+run. Full-view renders are `lax.map`-chunked with `jax.checkpoint` (remat) so
+the backward pass never materializes all [P, 128, W] activations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mvip_tpu.guidance.sds import (
+    GuidanceModels,
+    SDSConfig,
+    sds_colla_step,
+    sds_normal_step,
+    sds_rgb_step,
+)
+from mvip_tpu.ops.normals import depth_to_normal_map
+from mvip_tpu.ops.rays import rays_at_view_coords, rays_for_pose
+from mvip_tpu.render.renderer import RenderOptions, render_rays
+from mvip_tpu.train.state import TrainState
+from mvip_tpu.train.step import DeviceStreams, StepConfig, base_losses
+
+
+@dataclass(frozen=True)
+class MVIPConfig:
+    """Guidance wiring for the train step (flags from `config_1.txt:48-61`)."""
+
+    sds_loss_weight: float = 1e-4
+    is_rgb_guidance: bool = True
+    is_normal_guidance: bool = False
+    normal_start: int = 500
+    normalmap_render_factor: int = 7
+    normal_k: int = 31              # plane-fit neighborhood (`run.py:957`)
+    is_colla_guidance: bool = False
+    colla_n_views: int = 5          # window +-4 step 2 (`run.py:1388-1391`)
+    colla_window_step: int = 2
+    colla_render_factor: int = 8
+    render_chunk: int = 8192        # masked-pixel render chunk (remat'd)
+
+
+def _render_chunked_remat(key, rays_o, rays_d, near, far, coarse_fn, fine_fn,
+                          ropts, chunk: int, keep=("rgb", "disp", "depth")):
+    """Fixed-size lax.map chunks, each rematerialized: O(chunk) backward memory."""
+    n = rays_o.shape[0]
+    n_chunks = max(1, -(-n // chunk))
+    pad = n_chunks * chunk - n
+    ro = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))])
+    rd = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))])
+    ro = ro.reshape(n_chunks, chunk, 3)
+    rd = rd.reshape(n_chunks, chunk, 3)
+    keys = jax.random.split(key, n_chunks)
+
+    @jax.checkpoint
+    def body(args):
+        k, o, d = args
+        ret = render_rays(k, o, d, near, far, coarse_fn, fine_fn, ropts)
+        return {kk: ret[kk] for kk in keep}
+
+    outs = jax.lax.map(body, (keys, ro, rd))
+    return {k: v.reshape(n_chunks * chunk, *v.shape[2:])[:n] for k, v in outs.items()}
+
+
+def _render_view_image(key, streams: DeviceStreams, v, H, W, focal, near, far,
+                       coarse_fn, fine_fn, ropts, chunk,
+                       keep=("rgb", "disp", "depth")):
+    """Full-image render of train view `v` (traced index) at (H, W, focal)."""
+    c2w = streams.poses[v]
+    rays_o, rays_d = rays_for_pose(H, W, focal, c2w)
+    ret = _render_chunked_remat(
+        key, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), near, far,
+        coarse_fn, fine_fn, ropts, chunk, keep,
+    )
+    return {k: x.reshape(H, W, *x.shape[1:]) for k, x in ret.items()}
+
+
+def make_mvip_train_step(
+    scfg: StepConfig,
+    ropts: RenderOptions,
+    coarse_apply: Callable,
+    fine_apply: Optional[Callable],
+    optimizer,
+    mcfg: MVIPConfig,
+    gm: GuidanceModels,
+    sds_rgb_cfg: SDSConfig,
+    sds_normal_cfg: SDSConfig,
+    sds_colla_cfg: SDSConfig,
+    text_pair_rgb: jnp.ndarray,      # [2, T, C] = [uncond | cond]
+    text_pair_normal: jnp.ndarray,
+):
+    """Build the jitted MVIP step: (state, streams, key, i) -> (state, metrics)."""
+    H, W, focal = scfg.H, scfg.W, scfg.focal
+    n_imp = ropts.n_importance
+
+    def guidance_losses(params, streams: DeviceStreams, key, i):
+        from mvip_tpu.train.step import model_fns
+
+        coarse_fn, fine_fn = model_fns(params, coarse_apply, fine_apply)
+        k_view, k_r, k_sds, k_n, k_rn, k_c, k_rc = jax.random.split(key, 7)
+        n_views = streams.images.shape[0]
+        v = jax.random.randint(k_view, (), 0, n_views)
+
+        sds_total = jnp.zeros(())
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        # --- 1-2: masked-pixel render + composite + RGB SDS ------------------
+        if mcfg.is_rgb_guidance:
+            coords = streams.masked_coords[v].astype(jnp.float32)   # [P, 2]
+            vv = jnp.full((coords.shape[0],), v)
+            ro, rd = rays_at_view_coords(streams.poses, vv, coords, H, W, focal)
+            ret = _render_chunked_remat(
+                k_r, ro, rd, scfg.near, scfg.far, coarse_fn, fine_fn, ropts,
+                mcfg.render_chunk, keep=("rgb",),
+            )
+            gt = streams.images[v]                                   # [H, W, 3]
+            cc = streams.masked_coords[v]
+            combined = gt.at[cc[:, 1], cc[:, 0]].set(ret["rgb"])     # scatter render
+            mask_img = streams.masks[v][..., None]                   # [H, W, 1]
+            sds_rgb = sds_rgb_step(
+                k_sds, gm, sds_rgb_cfg, i, combined[None], mask_img[None],
+                text_pair_rgb,
+            )
+            sds_total = sds_total + sds_rgb
+            metrics["sds_rgb"] = sds_rgb
+
+        # --- 3: normal-map SDS -------------------------------------------------
+        if mcfg.is_normal_guidance:
+            f = mcfg.normalmap_render_factor
+            Hn, Wn = H // f, W // f
+            ret_n = _render_view_image(
+                k_rn, streams, v, Hn, Wn, focal / f, scfg.near, scfg.far,
+                coarse_fn, fine_fn, ropts, mcfg.render_chunk, keep=("depth",),
+            )
+            normal_map = depth_to_normal_map(
+                ret_n["depth"], focal / f, Wn / 2.0, Hn / 2.0, k=mcfg.normal_k
+            )
+            mask_n = jax.image.resize(
+                streams.masks[v][..., None], (Hn, Wn, 1), "nearest"
+            )
+            sds_n = sds_normal_step(
+                k_n, gm, sds_normal_cfg, i, normal_map[None], mask_n[None],
+                text_pair_normal, normal_start=mcfg.normal_start,
+            )
+            # reference gates on i > normal_start (`nerf/utils.py:298`)
+            sds_n = jnp.where(i > mcfg.normal_start, sds_n, 0.0)
+            sds_total = sds_total + sds_n
+            metrics["sds_normal"] = sds_n
+
+        # --- 4: collaborative multi-view SDS -----------------------------------
+        if mcfg.is_colla_guidance:
+            f = mcfg.colla_render_factor
+            Hc, Wc = H // f, W // f
+            half = mcfg.colla_n_views // 2
+            offs = (jnp.arange(mcfg.colla_n_views) - half) * mcfg.colla_window_step
+            base = jnp.mod(i, n_views)
+            vids = jnp.clip(base + offs, 0, n_views - 1)             # [Nv]
+
+            def render_one(args):
+                kk, vid = args
+                r = _render_view_image(
+                    kk, streams, vid, Hc, Wc, focal / f, scfg.near, scfg.far,
+                    coarse_fn, fine_fn, ropts, mcfg.render_chunk, keep=("rgb",),
+                )
+                m = jax.image.resize(streams.masks[vid][..., None], (Hc, Wc, 1),
+                                     "nearest")
+                return r["rgb"], m
+
+            keys_c = jax.random.split(k_rc, mcfg.colla_n_views)
+            rgbs, masks_c = jax.lax.map(render_one, (keys_c, vids))
+            sds_c = sds_colla_step(
+                k_c, gm, sds_colla_cfg, i, rgbs, masks_c, text_pair_rgb
+            )
+            sds_c = jnp.where(i > 0, sds_c, 0.0)  # `nerf/utils.py:292`
+            sds_total = sds_total + sds_c
+            metrics["sds_colla"] = sds_c
+
+        return sds_total, metrics
+
+    def loss_fn(params, streams: DeviceStreams, key, i):
+        k_base, k_guide = jax.random.split(key)
+        loss, metrics = base_losses(params, streams, k_base, scfg, ropts,
+                                    coarse_apply, fine_apply)
+        sds_loss, gmetrics = guidance_losses(params, streams, k_guide, i)
+        loss = loss + mcfg.sds_loss_weight * sds_loss
+        metrics.update(gmetrics)
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def train_step(state: TrainState, streams: DeviceStreams, key, i):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, streams, key, i
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -120,6 +120,76 @@ def sample_depth_batch(key, streams: DeviceStreams, n: int):
     )
 
 
+def model_fns(params, coarse_apply, fine_apply):
+    """Close coarse/fine apply functions over the current params."""
+    coarse_fn = partial(coarse_apply, params["coarse"])
+    fine_fn = (
+        partial(fine_apply, params["fine"])
+        if fine_apply is not None and params.get("fine") is not None
+        else None
+    )
+    return coarse_fn, fine_fn
+
+
+def base_losses(params, streams: DeviceStreams, key, scfg: StepConfig,
+                ropts: RenderOptions, coarse_apply, fine_apply):
+    """The guidance-off loss terms (`run.py:996-1027`), shared by the plain and
+    MVIP (guidance-on) train steps. Returns (loss, metrics)."""
+    k_clf, k_inp, k_dep, k_r1, k_r2, k_r3 = jax.random.split(key, 6)
+    coarse_fn, fine_fn = model_fns(params, coarse_apply, fine_apply)
+
+    ro, rd, target = sample_clf_batch(
+        k_clf, streams, scfg.n_rand, scfg.H, scfg.W, scfg.focal
+    )
+    out = render_rays(
+        k_r1, ro, rd, scfg.near, scfg.far, coarse_fn, fine_fn, ropts
+    )
+    img_loss = img2mse(out["rgb"], target)
+    loss = img_loss
+    if ropts.n_importance > 0 and not scfg.no_coarse:
+        loss = loss + img2mse(out["rgb0"], target)
+
+    depth_loss = jnp.zeros(())
+    if scfg.depth_loss:
+        ro_i, rd_i, target_inp = sample_inp_batch(
+            k_inp, streams, scfg.n_rand, scfg.H, scfg.W, scfg.focal
+        )
+        out_inp = render_rays(
+            k_r2, ro_i, rd_i, scfg.near, scfg.far, coarse_fn, fine_fn, ropts
+        )
+        depth_loss = img2mse(out_inp["disp"], target_inp)
+        loss = loss + scfg.depth_lambda * depth_loss
+
+    if scfg.colmap_depth and streams.depth_target.shape[0] > 0:
+        ro_d, rd_d, t_d, w_d = sample_depth_batch(k_dep, streams, scfg.n_rand)
+        if scfg.sigma_loss:
+            sl = sigma_loss(
+                k_r3, ro_d, rd_d,
+                rd_d / jnp.linalg.norm(rd_d, -1, keepdims=True),
+                scfg.near, t_d, fine_fn or coarse_fn,
+                ropts.n_samples, ropts.perturb, ropts.raw_noise_std,
+            ).mean()
+            loss = loss + scfg.sigma_lambda * sl
+        else:
+            out_d = render_rays(
+                k_r3, ro_d, rd_d, scfg.near, scfg.far, coarse_fn, fine_fn, ropts
+            )
+            cd = (
+                weighted_mse(out_d["depth"], t_d, w_d)
+                if scfg.weighted_loss
+                else img2mse(out_d["depth"], t_d)
+            )
+            loss = loss + scfg.depth_lambda * cd
+
+    metrics = {
+        "loss": loss,
+        "img_loss": img_loss,
+        "depth_loss": depth_loss,
+        "psnr": mse2psnr(img_loss),
+    }
+    return loss, metrics
+
+
 def make_train_step(
     scfg: StepConfig,
     ropts: RenderOptions,
@@ -131,64 +201,8 @@ def make_train_step(
     """Build the jitted step: (state, streams, key) -> (state, metrics)."""
 
     def loss_fn(params, streams: DeviceStreams, key):
-        k_clf, k_inp, k_dep, k_r1, k_r2, k_r3 = jax.random.split(key, 6)
-        coarse_fn = partial(coarse_apply, params["coarse"])
-        fine_fn = (
-            partial(fine_apply, params["fine"])
-            if fine_apply is not None and params.get("fine") is not None
-            else None
-        )
+        return base_losses(params, streams, key, scfg, ropts, coarse_apply, fine_apply)
 
-        ro, rd, target = sample_clf_batch(
-            k_clf, streams, scfg.n_rand, scfg.H, scfg.W, scfg.focal
-        )
-        out = render_rays(
-            k_r1, ro, rd, scfg.near, scfg.far, coarse_fn, fine_fn, ropts
-        )
-        img_loss = img2mse(out["rgb"], target)
-        loss = img_loss
-        if ropts.n_importance > 0 and not scfg.no_coarse:
-            loss = loss + img2mse(out["rgb0"], target)
-
-        depth_loss = jnp.zeros(())
-        if scfg.depth_loss:
-            ro_i, rd_i, target_inp = sample_inp_batch(
-                k_inp, streams, scfg.n_rand, scfg.H, scfg.W, scfg.focal
-            )
-            out_inp = render_rays(
-                k_r2, ro_i, rd_i, scfg.near, scfg.far, coarse_fn, fine_fn, ropts
-            )
-            depth_loss = img2mse(out_inp["disp"], target_inp)
-            loss = loss + scfg.depth_lambda * depth_loss
-
-        if scfg.colmap_depth and streams.depth_target.shape[0] > 0:
-            ro_d, rd_d, t_d, w_d = sample_depth_batch(k_dep, streams, scfg.n_rand)
-            if scfg.sigma_loss:
-                sl = sigma_loss(
-                    k_r3, ro_d, rd_d,
-                    rd_d / jnp.linalg.norm(rd_d, -1, keepdims=True),
-                    scfg.near, t_d, fine_fn or coarse_fn,
-                    ropts.n_samples, ropts.perturb, ropts.raw_noise_std,
-                ).mean()
-                loss = loss + scfg.sigma_lambda * sl
-            else:
-                out_d = render_rays(
-                    k_r3, ro_d, rd_d, scfg.near, scfg.far, coarse_fn, fine_fn, ropts
-                )
-                cd = (
-                    weighted_mse(out_d["depth"], t_d, w_d)
-                    if scfg.weighted_loss
-                    else img2mse(out_d["depth"], t_d)
-                )
-                loss = loss + scfg.depth_lambda * cd
-
-        metrics = {
-            "loss": loss,
-            "img_loss": img_loss,
-            "depth_loss": depth_loss,
-            "psnr": mse2psnr(img_loss),
-        }
-        return loss, metrics
 
     def train_step(state: TrainState, streams: DeviceStreams, key):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, streams, key)

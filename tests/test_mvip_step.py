@@ -1,0 +1,126 @@
+"""End-to-end MVIP (guidance-on) train step on tiny models.
+
+Exercises the full second-stage algorithm in one jitted program: masked-view
+render -> composite -> RGB SDS, downsampled depth -> normal SDS, neighbor-view
+renders -> collaborative SDS, plus base MSE/depth losses and the Adam update.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvip_tpu.data.rays import build_ray_streams
+from mvip_tpu.guidance.sds import SDSConfig, make_guidance_models
+from mvip_tpu.guidance.unet import init_unet, tiny_unet_config
+from mvip_tpu.guidance.vae import init_vae, tiny_vae_config
+from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
+from mvip_tpu.render.renderer import RenderOptions
+from mvip_tpu.train.mvip_step import MVIPConfig, make_mvip_train_step
+from mvip_tpu.train.state import create_train_state, make_optimizer
+from mvip_tpu.train.step import DeviceStreams, StepConfig
+
+
+def _tiny_scene(n_views=4, H=16, W=20, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(0, 1, (n_views, H, W, 3)).astype(np.float32)
+    masks = np.zeros((n_views, H, W), np.float32)
+    masks[:, 5:11, 6:14] = 1.0
+    depths = rng.uniform(0.2, 0.8, (n_views, H, W)).astype(np.float32)
+    poses = np.zeros((n_views, 3, 4), np.float32)
+    for v in range(n_views):
+        th = v * 0.4
+        c, s = np.cos(th), np.sin(th)
+        poses[v, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[v, :3, 3] = [s * 4, 0, c * 4]
+    return images, masks, depths, poses, 18.0
+
+
+def test_mvip_step_all_guidance(key):
+    images, masks, depths, poses, focal = _tiny_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+
+    mcfg_model = NeRFMLPConfig(depth=2, width=32, multires=4, multires_views=2)
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg_model),
+        "fine": init_nerf_mlp(jax.random.PRNGKey(2), mcfg_model),
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg_model, pts, vd)
+
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0, raw_noise_std=1.0)
+    scfg = StepConfig(n_rand=32, depth_loss=True, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(
+        sds_loss_weight=1e-4,
+        is_rgb_guidance=True,
+        is_normal_guidance=True, normal_start=0, normalmap_render_factor=2,
+        normal_k=5,
+        is_colla_guidance=True, colla_n_views=3, colla_render_factor=2,
+        render_chunk=64,
+    )
+    optimizer = make_optimizer(5e-3, 250)
+    state = create_train_state(params, optimizer)
+    step = make_mvip_train_step(
+        scfg, ropts, apply_fn, apply_fn, optimizer, mcfg, gm,
+        scfg_sds, scfg_sds, scfg_sds, te, te,
+    )
+
+    p0 = jax.tree.map(lambda a: np.asarray(a).copy(), state.params)
+    for i in range(3):
+        state, metrics = step(state, streams, jax.random.fold_in(key, i),
+                              jnp.asarray(i + 1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["sds_rgb"]))
+    assert np.isfinite(float(metrics["sds_normal"]))
+    assert np.isfinite(float(metrics["sds_colla"]))
+    # params must have moved
+    moved = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()) > 0,
+                     state.params, p0)
+    )
+    assert any(moved)
+
+
+def test_mvip_step_normal_gating(key):
+    """sds_normal contributes 0 before normal_start (reference `nerf/utils.py:298`)."""
+    images, masks, depths, poses, focal = _tiny_scene(n_views=2)
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+    mc = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    params = {"coarse": init_nerf_mlp(key, mc), "fine": None}
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mc, pts, vd)
+
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+
+    ropts = RenderOptions(n_samples=8, n_importance=0, perturb=1.0, raw_noise_std=1.0)
+    scfg = StepConfig(n_rand=16, depth_loss=False, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(is_rgb_guidance=False, is_normal_guidance=True,
+                      normal_start=100, normalmap_render_factor=2, normal_k=5,
+                      is_colla_guidance=False, render_chunk=64)
+    optimizer = make_optimizer(5e-3, 250)
+    state = create_train_state(params, optimizer)
+    step = make_mvip_train_step(
+        scfg, ropts, apply_fn, None, optimizer, mcfg, gm,
+        scfg_sds, scfg_sds, scfg_sds, te, te,
+    )
+    # the step donates its input state; build a fresh one per call
+    _, m_before = step(state, streams, key, jnp.asarray(50))
+    assert float(m_before["sds_normal"]) == 0.0
+    state2 = create_train_state(
+        {"coarse": init_nerf_mlp(key, mc), "fine": None}, optimizer
+    )
+    _, m_after = step(state2, streams, key, jnp.asarray(150))
+    assert float(m_after["sds_normal"]) != 0.0
