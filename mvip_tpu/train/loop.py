@@ -200,6 +200,7 @@ def setup_experiment(cfg: Config) -> Experiment:
         white_bkgd=cfg.white_bkgd,
         use_viewdirs=cfg.use_viewdirs,
         ndc=(not cfg.no_ndc) and cfg.dataset_type == "llff",
+        use_pallas=cfg.use_pallas,
     )
     scfg = StepConfig(
         n_rand=cfg.N_rand,
