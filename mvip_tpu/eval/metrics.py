@@ -81,3 +81,50 @@ def lpips_torch(pred: np.ndarray, gt: np.ndarray, net: str = "vgg"):
 
 
 lpips_torch._cache = {}
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Frechet distance between two Gaussians — the FID formula
+    (`evaluation.py:54` uses pyiqa's FID): ||mu1-mu2||^2 + Tr(S1+S2-2(S1 S2)^1/2).
+    Pure numpy/scipy-free: matrix sqrt via eigendecomposition of the product.
+    """
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+
+    prod = sigma1 @ sigma2
+    # symmetrize-and-eig sqrt: stable for PSD products
+    evals, evecs = np.linalg.eig(prod)
+    evals = np.maximum(evals.real, 0.0)
+    covmean_trace = float(np.sum(np.sqrt(evals + eps)))
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * covmean_trace)
+
+
+def _inception_features(images: np.ndarray):
+    """[N, H, W, 3] in [0,1] -> pooled InceptionV3 features; None when the
+    pretrained extractor is unavailable (zero-egress)."""
+    try:
+        import torch
+        from torchvision.models import Inception_V3_Weights, inception_v3
+
+        model = inception_v3(weights=Inception_V3_Weights.DEFAULT)
+    except Exception:
+        return None
+    model.fc = torch.nn.Identity()
+    model.eval()
+    x = torch.from_numpy(images.transpose(0, 3, 1, 2).astype(np.float32))
+    x = torch.nn.functional.interpolate(x, (299, 299), mode="bilinear")
+    x = x * 2.0 - 1.0
+    with torch.no_grad():
+        return model(x).numpy()
+
+
+def fid(pred: np.ndarray, gt: np.ndarray):
+    """FID between two image sets; None when no feature extractor is available."""
+    fp = _inception_features(pred)
+    fg = _inception_features(gt)
+    if fp is None or fg is None or len(fp) < 2:
+        return None
+    return frechet_distance(
+        fp.mean(0), np.cov(fp, rowvar=False), fg.mean(0), np.cov(fg, rowvar=False)
+    )

@@ -225,6 +225,61 @@ def setup_experiment(cfg: Config) -> Experiment:
     )
 
 
+def _model_fns_from_state(exp: Experiment, state: TrainState):
+    coarse_fn = partial(exp.coarse_apply, state.params["coarse"])
+    fine_fn = (
+        partial(exp.fine_apply, state.params["fine"])
+        if exp.fine_apply is not None and state.params.get("fine") is not None
+        else None
+    )
+    return coarse_fn, fine_fn
+
+
+def _render_videos(cfg, exp, state, expdir, step, controls, log_fn):
+    """Periodic spiral-path video dump (`run.py:1055-1088`: rgb.mp4, disp.mp4)."""
+    import dataclasses
+
+    from mvip_tpu.eval.render_path import render_pose_list
+    from mvip_tpu.utils.imaging import save_video
+
+    coarse_fn, fine_fn = _model_fns_from_state(exp, state)
+    H, W, focal = exp.hwf
+    ropts = dataclasses.replace(
+        exp.ropts, perturb=0.0, raw_noise_std=0.0,
+        white_bkgd=bool(controls.white_bkgd),
+    )
+    outs = render_pose_list(
+        exp.render_poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn,
+        ropts, render_factor=int(controls.render_factor) or cfg.render_factor,
+        chunk=cfg.chunk, key=jax.random.PRNGKey(0),
+    )
+    base = os.path.join(expdir, f"{cfg.expname}_spiral_{step:06d}_")
+    save_video(base + "rgb.mp4", outs["rgb"])
+    disp = outs["disp"]
+    disp[np.isnan(disp)] = 0
+    save_video(base + "disp.mp4", disp / max(np.percentile(disp, 95), 1e-8))
+    log_fn(f"saved spiral videos at step {step}")
+
+
+def _render_testset(cfg, exp, state, expdir, step, log_fn):
+    """Periodic test-pose render tree (`run.py:1286-1350` savedir dumps)."""
+    import dataclasses
+
+    from mvip_tpu.eval.render_path import render_pose_list
+
+    coarse_fn, fine_fn = _model_fns_from_state(exp, state)
+    H, W, focal = exp.hwf
+    ropts = dataclasses.replace(exp.ropts, perturb=0.0, raw_noise_std=0.0)
+    poses = exp.streams.poses[exp.i_test]
+    savedir = os.path.join(expdir, f"testset_{step:06d}")
+    render_pose_list(
+        poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn, ropts,
+        render_factor=cfg.render_factor, chunk=cfg.chunk, savedir=savedir,
+        key=jax.random.PRNGKey(0),
+    )
+    log_fn(f"saved test set at step {step} -> {savedir}")
+
+
 def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainState:
     import time as _time
 
@@ -246,6 +301,21 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         state = ckpt.restore(state)
         log_fn(f"resumed from step {int(state.step)}")
     phase("checkpoint manager ready")
+
+    # live controls: headless JSON watcher (+ optional tkinter panel, the
+    # reference's GUI — `run.py:1943-1975`; opt-in here, not unconditional)
+    from mvip_tpu.utils.live_control import FileWatcher, LiveControls, tk_panel
+
+    controls = LiveControls(
+        feat_weight=cfg.feat_weight, i_video=cfg.i_video,
+        render_factor=cfg.render_factor, white_bkgd=cfg.white_bkgd,
+    )
+    watcher = FileWatcher(controls, os.path.join(expdir, "control.json"))
+    if cfg.gui:
+        try:
+            tk_panel(controls)
+        except Exception as e:  # headless: keep the file watcher only
+            log_fn(f"gui unavailable ({e}); edit control.json instead")
 
     mesh = make_mesh(
         cfg.mesh_shape[0] if cfg.mesh_shape else None
@@ -321,6 +391,12 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 if i > start and i % cfg.i_weights == 0:
                     ckpt.save(jax.device_get(state))
                     log_fn(f"saved checkpoint at step {i}")
+                if i % cfg.i_print == 0:
+                    watcher.check()  # apply control.json edits
+                if i > start and controls.i_video > 0 and i % int(controls.i_video) == 0:
+                    _render_videos(cfg, exp, state, expdir, i, controls, log_fn)
+                if i > start and cfg.i_testset > 0 and i % cfg.i_testset == 0:
+                    _render_testset(cfg, exp, state, expdir, i, log_fn)
 
     ckpt.save(jax.device_get(state))
     ckpt.close()

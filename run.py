@@ -27,6 +27,44 @@ def main(argv=None):
     cfg = load_config(argv)
     print(f"experiment {cfg.expname}: dataset={cfg.dataset_type} dir={cfg.datadir}")
 
+    if cfg.render_test_ray:
+        # sigma-along-ray probe (the reference's broken `--render_test_ray`
+        # branch, `run.py:586-599` — see SURVEY.md §2.5; this one works)
+        import jax
+        import jax.numpy as jnp
+
+        from mvip_tpu.eval.probes import render_test_ray
+        from mvip_tpu.ops.rays import rays_for_pose
+        from mvip_tpu.train.checkpoint import CheckpointManager
+        from mvip_tpu.train.loop import setup_experiment
+        from mvip_tpu.train.state import create_train_state, make_optimizer
+
+        exp = setup_experiment(cfg)
+        expdir = os.path.join(cfg.basedir, cfg.expname)
+        state = create_train_state(
+            exp.init_params, make_optimizer(cfg.lrate, cfg.lrate_decay)
+        )
+        ckpt = CheckpointManager(os.path.join(expdir, "ckpt"))
+        if ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+        H, W, focal = exp.hwf
+        c2w = jnp.asarray(exp.streams.poses[0])
+        ro, rd = rays_for_pose(H, W, focal, c2w)
+        center = (H // 2) * W + W // 2
+        ro = ro.reshape(-1, 3)[center : center + 8]
+        rd = rd.reshape(-1, 3)[center : center + 8]
+        fn = partial(exp.coarse_apply, state.params["coarse"])
+        out = render_test_ray(
+            None, ro, rd, exp.near, exp.far, fn, cfg.N_samples,
+            savedir=os.path.join(expdir, "testray"),
+        )
+        print(
+            f"probed {out['sigma'].shape[0]} rays; "
+            f"sigma max={out['sigma'].max():.4f} depth={out['depth'].mean():.3f}; "
+            f"plots in {expdir}/testray"
+        )
+        return
+
     if cfg.render_only:
         import jax
 

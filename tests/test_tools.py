@@ -1,0 +1,191 @@
+"""Tests for the tools long tail: activations, NeRF_RGB, correspondence,
+probes, pose pipeline, live controls, metrics, report/eval CLIs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvip_tpu.ops.activation import trunc_exp
+
+
+def test_trunc_exp_value_and_clamped_grad():
+    x = jnp.array([0.0, 1.0, 20.0, -20.0])
+    np.testing.assert_allclose(np.asarray(trunc_exp(x)), np.exp(np.asarray(x)),
+                               rtol=1e-6)
+    g = jax.vmap(jax.grad(trunc_exp))(x)
+    # backward clamps input to [-15, 15] (`DS_NeRF/activation.py:14-17`)
+    expect = np.exp(np.clip(np.asarray(x), -15, 15))
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5)
+
+
+def test_nerf_rgb_frozen_sigma(key):
+    from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
+    from mvip_tpu.models.nerf_rgb import apply_nerf_rgb, init_nerf_rgb
+
+    cfg = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    alpha_params = init_nerf_mlp(key, cfg)
+    alpha_fn = lambda pts, vd: apply_nerf_mlp(alpha_params, cfg, pts, vd)
+    params = init_nerf_rgb(jax.random.fold_in(key, 1), cfg)
+
+    pts = jax.random.normal(key, (5, 3))
+    vd = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    raw = apply_nerf_rgb(params, cfg, alpha_fn, pts, vd)
+    # sigma channel equals the frozen model's
+    np.testing.assert_allclose(
+        np.asarray(raw[..., 3]), np.asarray(alpha_fn(pts, vd)[..., 3]), rtol=1e-6
+    )
+    # and carries no gradient to the color params through sigma
+    g = jax.grad(lambda p: jnp.sum(apply_nerf_rgb(p, cfg, alpha_fn, pts, vd)[..., 3]))(
+        params
+    )
+    assert all(
+        float(jnp.abs(l).max()) == 0 for l in jax.tree_util.tree_leaves(g)
+    )
+
+
+def test_reprojection_identity_and_match(key):
+    from mvip_tpu.ops.correspondence import correspondence, reproject
+
+    H, W, focal = 32, 40, 30.0
+    c2w = jnp.eye(4)[:3]
+    coords = jnp.array([[20.0, 16.0], [5.0, 7.0]])
+    depth = jnp.array([2.0, 3.0])
+    uv, z = reproject(coords, depth, c2w, c2w, H, W, focal)
+    np.testing.assert_allclose(np.asarray(uv), np.asarray(coords), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(depth), atol=1e-5)
+
+    depth_map = jnp.full((H, W), 2.0)
+    uv2, ok = correspondence(coords[:1], depth[:1], depth_map, c2w, c2w, H, W, focal)
+    assert bool(ok[0])
+
+
+def test_sample_sigma_probe(key, tmp_path):
+    from mvip_tpu.eval.probes import render_test_ray
+    from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
+
+    cfg = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    params = init_nerf_mlp(key, cfg)
+    fn = lambda pts, vd: apply_nerf_mlp(params, cfg, pts, vd)
+    ro = jnp.zeros((3, 3))
+    rd = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (3, 1))
+    out = render_test_ray(None, ro, rd, 2.0, 6.0, fn, 16, savedir=str(tmp_path))
+    assert out["sigma"].shape == (3, 16) and np.isfinite(out["sigma"]).all()
+    assert os.path.exists(tmp_path / "sigma_ray0.png")
+
+
+def test_pose_pipeline_roundtrip(tmp_path):
+    """Synthetic COLMAP model -> poses_bounds.npy with the LLFF axis fix."""
+    from mvip_tpu.data.colmap import Camera, Image, Point3D, write_model
+    from mvip_tpu.data.pose_pipeline import load_colmap_model, save_poses_bounds
+
+    sparse = tmp_path / "sparse" / "0"
+    os.makedirs(sparse)
+    cams = {1: Camera(id=1, model="SIMPLE_RADIAL", width=64, height=48,
+                      params=np.array([50.0, 32.0, 24.0, 0.0]))}
+    # two cameras: identity and translated along x (w2c with q=[1,0,0,0])
+    images = {
+        1: Image(id=1, qvec=np.array([1.0, 0, 0, 0]), tvec=np.array([0.0, 0, 0]),
+                 camera_id=1, name="a.png", xys=np.zeros((1, 2)),
+                 point3D_ids=np.array([1])),
+        2: Image(id=2, qvec=np.array([1.0, 0, 0, 0]), tvec=np.array([-1.0, 0, 0]),
+                 camera_id=1, name="b.png", xys=np.zeros((1, 2)),
+                 point3D_ids=np.array([1])),
+    }
+    pts = {
+        i: Point3D(id=i, xyz=np.array([0.1 * i, 0.0, 4.0 + i]),
+                   rgb=np.array([255, 0, 0]), error=0.5,
+                   image_ids=np.array([1, 2]), point2D_idxs=np.array([0, 0]))
+        for i in range(1, 12)
+    }
+    write_model(cams, images, pts, str(sparse), ".bin")
+
+    poses, pts3d, perm = load_colmap_model(str(tmp_path))
+    assert poses.shape == (3, 5, 2)
+    # hwf column
+    np.testing.assert_allclose(poses[:, 4, 0], [48, 64, 50])
+    # identity w2c -> c2w rotation columns permuted to [-u, r, -t] = rows swap
+    R = poses[:3, :3, 0]
+    np.testing.assert_allclose(R[:, 0], [0, 1, 0], atol=1e-8)   # -u col = +y
+    np.testing.assert_allclose(R[:, 2], [0, 0, -1], atol=1e-8)  # -t col
+
+    arr = save_poses_bounds(str(tmp_path), poses, pts3d, perm)
+    assert arr.shape == (2, 17)
+    assert os.path.exists(tmp_path / "poses_bounds.npy")
+    close, inf = arr[0, 15], arr[0, 16]
+    assert 0 < close < inf  # point depths are positive along -t
+
+
+def test_live_control_file_watcher(tmp_path):
+    from mvip_tpu.utils.live_control import FileWatcher, LiveControls
+
+    c = LiveControls()
+    path = str(tmp_path / "control.json")
+    w = FileWatcher(c, path)
+    assert os.path.exists(path)  # seeded
+    data = json.load(open(path))
+    data["render_factor"] = 4
+    data["white_bkgd"] = True
+    os.utime  # noqa
+    import time
+
+    time.sleep(0.01)
+    json.dump(data, open(path, "w"))
+    os.utime(path, (time.time() + 2, time.time() + 2))
+    assert w.check()
+    assert c.render_factor == 4 and c.white_bkgd is True
+
+
+def test_frechet_distance():
+    from mvip_tpu.eval.metrics import frechet_distance
+
+    mu = np.zeros(4)
+    s = np.eye(4)
+    assert abs(frechet_distance(mu, s, mu, s)) < 1e-4
+    d = frechet_distance(mu, s, mu + 1.0, s)
+    np.testing.assert_allclose(d, 4.0, atol=1e-3)  # ||1||^2 over 4 dims
+
+
+def test_generate_html_cli(tmp_path):
+    import imageio.v2 as imageio
+
+    expdir = tmp_path / "exp1" / "rgb"
+    os.makedirs(expdir)
+    imageio.imwrite(str(expdir / "000.png"), np.zeros((8, 8, 3), np.uint8))
+    out = tmp_path / "report.html"
+    r = subprocess.run(
+        [sys.executable, "tools/generate_html.py", "--logdir", str(tmp_path),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    html = open(out).read()
+    assert "<img" in html and "exp1" in html
+
+
+def test_evaluate_cli(tmp_path):
+    import imageio.v2 as imageio
+
+    pred, gt = tmp_path / "pred", tmp_path / "gt"
+    os.makedirs(pred)
+    os.makedirs(gt)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = (rng.uniform(0, 255, (16, 16, 3))).astype(np.uint8)
+        imageio.imwrite(str(pred / f"{i}.png"), img)
+        imageio.imwrite(str(gt / f"{i}.png"), img)
+    r = subprocess.run(
+        [sys.executable, "tools/evaluate.py", "--pred", str(pred), "--gt", str(gt),
+         "--out", str(tmp_path / "eval.txt")],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr
+    assert "PSNR" in r.stdout
+    # identical images -> PSNR should be huge (capped by float)
+    psnr_line = [l for l in r.stdout.splitlines() if l.startswith("PSNR")][0]
+    assert float(psnr_line.split()[1]) > 50

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Offline evaluation harness: image quality + depth metrics over scene dirs.
+
+Capability parity with `DS_NeRF/evaluation.py:48-132` (PSNR, LPIPS, FID per
+scene; depth L1/L2; results appended to eval.txt), minus its hardcoded cluster
+paths: scenes are passed on the command line as pred/gt directory pairs.
+
+Metric backends in this zero-egress image: PSNR/SSIM run natively (JAX/numpy);
+LPIPS and FID require pretrained feature extractors (VGG / InceptionV3) and are
+reported when the optional packages + weights are present, else logged as n/a —
+`mvip_tpu.eval.metrics.lpips_torch` / `fid` gate themselves.
+
+Usage:
+    python tools/evaluate.py --pred exp/testset/rgb --gt data/1/images_4 \\
+        [--pred_depth exp/testset/depth --gt_depth data/1/depth] [--out eval.txt]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_dir(path):
+    import imageio.v2 as imageio
+
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    return [imageio.imread(os.path.join(path, f))[..., :3] / 255.0 for f in files], files
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pred", required=True, help="dir of predicted images")
+    parser.add_argument("--gt", required=True, help="dir of ground-truth images")
+    parser.add_argument("--pred_depth", default=None, help="dir of predicted depth .npy")
+    parser.add_argument("--gt_depth", default=None, help="dir of gt depth .npy")
+    parser.add_argument("--out", default="eval.txt")
+    parser.add_argument("--lpips_net", default="vgg")
+    args = parser.parse_args()
+
+    from mvip_tpu.eval.metrics import depth_l1_l2, fid, lpips_torch, psnr, ssim
+
+    preds, names = _load_dir(args.pred)
+    gts, _ = _load_dir(args.gt)
+    n = min(len(preds), len(gts))
+    if len(preds) != len(gts):
+        print(f"WARNING: {len(preds)} pred vs {len(gts)} gt images; using first {n}")
+
+    psnrs, ssims, lpipss = [], [], []
+    for p, g in zip(preds[:n], gts[:n]):
+        if p.shape != g.shape:
+            import cv2
+
+            g = cv2.resize(g, (p.shape[1], p.shape[0]))
+        psnrs.append(float(psnr(np.asarray(p, np.float32), np.asarray(g, np.float32))))
+        ssims.append(float(ssim(np.asarray(p, np.float32), np.asarray(g, np.float32))))
+        lp = lpips_torch(p.astype(np.float32), g.astype(np.float32), args.lpips_net)
+        if lp is not None:
+            lpipss.append(lp)
+
+    fid_val = fid(
+        np.stack(preds[:n]).astype(np.float32), np.stack(gts[:n]).astype(np.float32)
+    )
+
+    d_l1 = d_l2 = None
+    if args.pred_depth and args.gt_depth:
+        dp = sorted(os.listdir(args.pred_depth))
+        dg = sorted(os.listdir(args.gt_depth))
+        l1s, l2s = [], []
+        for a, b in zip(dp, dg):
+            da = np.load(os.path.join(args.pred_depth, a))
+            db = np.load(os.path.join(args.gt_depth, b))
+            l1, l2 = depth_l1_l2(da, db)
+            l1s.append(l1)
+            l2s.append(l2)
+        d_l1, d_l2 = float(np.mean(l1s)), float(np.mean(l2s))
+
+    lines = [
+        f"pred={args.pred} gt={args.gt} n={n}",
+        f"PSNR  {np.mean(psnrs):.4f}",
+        f"SSIM  {np.mean(ssims):.4f}",
+        f"LPIPS {np.mean(lpipss):.4f}" if lpipss else "LPIPS n/a (no weights)",
+        f"FID   {fid_val:.4f}" if fid_val is not None else "FID   n/a (no weights)",
+    ]
+    if d_l1 is not None:
+        lines += [f"depth L1 {d_l1:.5f}", f"depth L2 {d_l2:.5f}"]
+    report = "\n".join(lines)
+    print(report)
+    with open(args.out, "a") as fh:
+        fh.write(report + "\n\n")
+
+
+if __name__ == "__main__":
+    main()
