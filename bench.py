@@ -85,6 +85,18 @@ def bench_backbone(backbone: str) -> float:
         }
         apply_fn = lambda p, pts, vd: apply_hashgrid_nerf(p, hcfg, pts, vd)
         fine_fn = apply_fn
+    elif backbone == "triplane":
+        from mvip_tpu.models.nerf_triplane import (
+            TriplaneConfig, apply_triplane_nerf, init_triplane_nerf,
+        )
+
+        tcfg = TriplaneConfig()  # TPU-first VM-factorized backbone
+        params = {
+            "coarse": init_triplane_nerf(jax.random.PRNGKey(1), tcfg),
+            "fine": init_triplane_nerf(jax.random.PRNGKey(2), tcfg),
+        }
+        apply_fn = lambda p, pts, vd: apply_triplane_nerf(p, tcfg, pts, vd)
+        fine_fn = apply_fn
     else:
         raise ValueError(backbone)
 
@@ -103,18 +115,21 @@ def bench_backbone(backbone: str) -> float:
 
     for i in range(WARMUP):
         state, metrics = step(state, ds, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    # NOTE: block_until_ready through the tunneled-TPU backend returns before
+    # the computation finishes; a host VALUE fetch is the only honest barrier.
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = step(state, ds, jax.random.fold_in(key, WARMUP + i))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # forces the whole chained sequence to complete
     dt = time.perf_counter() - t0
     return ITERS * N_RAND / dt
 
 
 def main():
     mlp_rate = bench_backbone("mlp")
+    tri_rate = bench_backbone("triplane")
     hash_rate = bench_backbone("hashgrid")
 
     baseline = None
@@ -127,6 +142,7 @@ def main():
         "value": round(mlp_rate, 1),
         "unit": "rays/s",
         "vs_baseline": round(mlp_rate / baseline, 2) if baseline else None,
+        "triplane_rays_per_sec": round(tri_rate, 1),
         "hashgrid_rays_per_sec": round(hash_rate, 1),
         "baseline_torch_cpu_rays_per_sec": baseline,
     }

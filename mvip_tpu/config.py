@@ -143,6 +143,8 @@ class Config:
     debug: bool = False
 
     # --- TPU-native additions (not in reference) ---
+    backbone: str = ""                       # "" = reference rule (no_tcnn ? mlp : hashgrid);
+                                             # explicit: mlp | hashgrid | triplane
     mesh_shape: Optional[List[int]] = None   # data-parallel mesh; None = all devices
     param_dtype: str = "float32"
     compute_dtype: str = "float32"           # bfloat16 for max MXU throughput

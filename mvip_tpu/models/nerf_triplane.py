@@ -1,0 +1,149 @@
+"""Triplane (VM-factorized) NeRF — the TPU-first fast backbone.
+
+WHY THIS EXISTS (TPU-native design, not in the reference): the reference's
+default backbone is a tiny-cuda-nn hash grid (`run_nerf_helpers_tcnn.py:36-48`)
+— 16 levels x 8 corners = 128 random table gathers per point. TPUs execute
+random gathers at only ~5-50M rows/s (measured on v5e), which makes the
+hash-grid backward (a 25M-element scatter-add per step) the training
+bottleneck. A TensoRF-style vector-matrix decomposition needs only
+3 planes x 4 corners + 3 lines x 2 corners = 18 gathers per point (7x fewer),
+with comparable model capacity — the right capacity/bandwidth trade for TPU.
+
+Model: for each axis pair, feature_c(x) = plane_c(proj_xy) * line_c(z), summed
+over components; concatenated plane-products feed the same sigma/color heads as
+the hash-grid backbone (SH-encoded view directions). Same (rgb logits, sigma)
+output contract as the other backbones.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from mvip_tpu.models.nerf_hashgrid import _mlp_apply, _mlp_init, sh_encoding
+
+
+@dataclass(frozen=True)
+class TriplaneConfig:
+    plane_res: int = 256
+    line_res: int = 256
+    n_comp: int = 24              # components per plane
+    bound: float = 100.0
+    geo_feat_dim: int = 15
+    sigma_hidden: int = 64
+    sigma_layers: int = 2
+    color_hidden: int = 64
+    color_layers: int = 3
+    sh_degree: int = 4
+
+    @property
+    def enc_dim(self) -> int:
+        return 3 * self.n_comp
+
+    @property
+    def sh_dim(self) -> int:
+        return self.sh_degree ** 2
+
+
+# plane axes (matrix) and the complementary line axis (vector): VM pairs
+_PLANE_AXES = ((0, 1), (0, 2), (1, 2))
+_LINE_AXES = (2, 1, 0)
+
+
+def init_triplane_nerf(key: jax.Array, cfg: TriplaneConfig) -> Dict[str, Any]:
+    ks = jax.random.split(key, 8)
+    planes = [
+        0.1 * jax.random.normal(ks[i], (cfg.plane_res, cfg.plane_res, cfg.n_comp))
+        for i in range(3)
+    ]
+    lines = [
+        0.1 * jax.random.normal(ks[3 + i], (cfg.line_res, cfg.n_comp))
+        for i in range(3)
+    ]
+    sigma_sizes = (
+        [cfg.enc_dim] + [cfg.sigma_hidden] * (cfg.sigma_layers - 1)
+        + [1 + cfg.geo_feat_dim]
+    )
+    color_sizes = (
+        [cfg.sh_dim + cfg.geo_feat_dim] + [cfg.color_hidden] * (cfg.color_layers - 1)
+        + [3]
+    )
+    return {
+        "planes": planes,
+        "lines": lines,
+        "sigma_net": _mlp_init(ks[6], sigma_sizes),
+        "color_net": _mlp_init(ks[7], color_sizes),
+    }
+
+
+def _bilinear_plane(plane: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """plane [R, R, C]; u, v [N] in [0, 1] -> [N, C] via ONE batched 4-corner
+    gather from the flattened [R*R, C] table (TPU: batched gathers >> loops)."""
+    R, _, C = plane.shape
+    pu = u * (R - 1)
+    pv = v * (R - 1)
+    iu = jnp.clip(jnp.floor(pu).astype(jnp.int32), 0, R - 2)
+    iv = jnp.clip(jnp.floor(pv).astype(jnp.int32), 0, R - 2)
+    fu = (pu - iu)[:, None]
+    fv = (pv - iv)[:, None]
+
+    flat = plane.reshape(R * R, C)
+    base = iu * R + iv
+    idx = jnp.stack([base, base + 1, base + R, base + R + 1], -1)   # [N, 4]
+    f = jnp.take(flat, idx, axis=0)                                 # [N, 4, C]
+    w00 = (1 - fu) * (1 - fv)
+    w01 = (1 - fu) * fv
+    w10 = fu * (1 - fv)
+    w11 = fu * fv
+    return (f[:, 0] * w00 + f[:, 1] * w01 + f[:, 2] * w10 + f[:, 3] * w11)
+
+
+def _linear_line(line: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """line [R, C]; w [N] in [0, 1] -> [N, C] (2-corner gather)."""
+    R, C = line.shape
+    p = w * (R - 1)
+    i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, R - 2)
+    f = (p - i0)[:, None]
+    idx = jnp.stack([i0, i0 + 1], -1)        # [N, 2]
+    g = jnp.take(line, idx, axis=0)          # [N, 2, C]
+    return g[:, 0] * (1 - f) + g[:, 1] * f
+
+
+def triplane_encode(params: Dict[str, Any], x01: jnp.ndarray) -> jnp.ndarray:
+    """x01 [N, 3] in [0, 1] -> [N, 3*n_comp] VM features."""
+    feats = [
+        _bilinear_plane(params["planes"][i], x01[:, a], x01[:, b])
+        * _linear_line(params["lines"][i], x01[:, _LINE_AXES[i]])
+        for i, (a, b) in enumerate(_PLANE_AXES)
+    ]
+    return jnp.concatenate(feats, -1)
+
+
+def apply_triplane_nerf(
+    params: Dict[str, Any],
+    cfg: TriplaneConfig,
+    pts: jnp.ndarray,
+    viewdirs: jnp.ndarray = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Same contract as the other backbones: raw [..., 4] = (rgb logits, sigma)."""
+    shape = pts.shape[:-1]
+    x = pts.reshape(-1, 3)
+    x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
+    enc = triplane_encode(params, x01)
+    h = _mlp_apply(params["sigma_net"], enc, compute_dtype)
+    sigma, geo = h[..., :1], h[..., 1:]
+
+    if viewdirs is None:
+        raise ValueError("triplane NeRF requires view directions")
+    v = jnp.broadcast_to(
+        viewdirs[..., None, :] if viewdirs.ndim < pts.ndim else viewdirs, pts.shape
+    ).reshape(-1, 3)
+    sh = sh_encoding(v, cfg.sh_degree)
+    rgb = _mlp_apply(params["color_net"], jnp.concatenate([sh, geo], -1), compute_dtype)
+    raw = jnp.concatenate([rgb, sigma], -1)
+    return raw.reshape(*shape, 4)
