@@ -103,3 +103,35 @@ def load_colmap_depth(
     if cache:
         np.save(cache_file, np.array(data_list, dtype=object), allow_pickle=True)
     return data_list
+
+
+def load_sensor_depth(
+    basedir: str,
+    factor: int = 8,
+    bds_raw: Optional[np.ndarray] = None,
+    bd_factor: float = 0.75,
+    cache: bool = True,
+):
+    """Sensor-depth variant (`DS_NeRF/load_llff.py:498-555`): identical keypoint
+    depth/weight extraction over ALL views (no pose-slice offset), plus the
+    `depth/` image stack from disk. NOTE the reference loads that stack and
+    never uses it (`:521-525`) — returned here so callers can actually supervise
+    with it. Returns (data_list, sensor_depths | None)."""
+    data_list = load_colmap_depth(
+        basedir, factor=factor, bds_raw=bds_raw, bd_factor=bd_factor,
+        n_views=None, cache=cache,
+    )
+    depth_dir = os.path.join(basedir, "depth")
+    sensor = None
+    if os.path.isdir(depth_dir):
+        import imageio.v2 as imageio
+
+        files = sorted(
+            f for f in os.listdir(depth_dir)
+            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        )
+        if files:
+            sensor = np.stack(
+                [np.asarray(imageio.imread(os.path.join(depth_dir, f))) for f in files]
+            )
+    return data_list, sensor

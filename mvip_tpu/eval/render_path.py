@@ -73,3 +73,22 @@ def neighbor_view_indices(step: int, n_views: int, width: int = 4, stride: int =
     center = step % n_views
     idx = np.arange(center - width, center + width + 1, stride)
     return idx[(idx >= 0) & (idx < n_views)]
+
+
+def generate_render_path(poses: np.ndarray, focal: float, n_views: int = 120,
+                         n_rots: int = 2, z_factor: float = 0.1) -> np.ndarray:
+    """Standalone spiral render-path generator around the average pose
+    (`DS_NeRF/utils/generate_renderpath.py:33-51`). poses [N, 3, 4/5] -> [n_views, 3, 4]."""
+    from mvip_tpu.data.llff import poses_avg, render_path_spiral
+
+    if poses.shape[-1] == 4:  # pad an hwf column (poses_avg expects [N, 3, 5])
+        hwf = np.zeros((len(poses), 3, 1), poses.dtype)
+        poses = np.concatenate([poses[:, :3, :4], hwf], -1)
+    c2w = poses_avg(poses)
+    up = poses[:, :3, 1].sum(0)
+    up = up / np.linalg.norm(up)
+    rads = np.percentile(np.abs(poses[:, :3, 3]), 90, axis=0) * 1.1
+    return np.asarray(
+        render_path_spiral(c2w, up, rads, focal, zrate=z_factor, rots=n_rots,
+                           N=n_views)
+    )[:, :3, :4]
