@@ -272,7 +272,7 @@ def _render_videos(cfg, exp, state, expdir, step, controls, log_fn):
     outs = render_pose_list(
         exp.render_poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn,
         ropts, render_factor=int(controls.render_factor) or cfg.render_factor,
-        chunk=cfg.chunk, key=jax.random.PRNGKey(0),
+        chunk=min(cfg.chunk, 8192), key=jax.random.PRNGKey(0),
     )
     base = os.path.join(expdir, f"{cfg.expname}_spiral_{step:06d}_")
     save_video(base + "rgb.mp4", outs["rgb"])
@@ -295,8 +295,8 @@ def _render_testset(cfg, exp, state, expdir, step, log_fn):
     savedir = os.path.join(expdir, f"testset_{step:06d}")
     render_pose_list(
         poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn, ropts,
-        render_factor=cfg.render_factor, chunk=cfg.chunk, savedir=savedir,
-        key=jax.random.PRNGKey(0),
+        render_factor=cfg.render_factor, chunk=min(cfg.chunk, 8192),
+        savedir=savedir, key=jax.random.PRNGKey(0),
     )
     log_fn(f"saved test set at step {step} -> {savedir}")
 
