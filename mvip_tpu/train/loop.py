@@ -377,57 +377,68 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         start = int(state.step)
         metrics = None
         metrics_log = open(os.path.join(expdir, "metrics.jsonl"), "a")
-        with maybe_trace(cfg.profile_dir):
-            for i in range(start, n_iters):
-                key = jax.random.fold_in(base_key, i)
-                if use_guidance:
-                    state, metrics = train_step(
-                        state, streams_dev, key, jnp.asarray(i, jnp.int32)
-                    )
-                else:
-                    state, metrics = train_step(state, streams_dev, key)
-                if i % cfg.i_print == 0:
-                    # ONE stacked fetch: per-leaf device_get costs seconds of
-                    # relay latency on tunneled TPUs (measured 4.2s for the dict
-                    # vs 0.37s for a single scalar)
-                    keys_m = tuple(
-                        k for k in ("loss", "img_loss", "depth_loss", "psnr",
-                                    "sds_rgb", "sds_normal", "sds_colla")
-                        if k in metrics
-                    )
-                    vals = np.asarray(jnp.stack([metrics[k] for k in keys_m]))
-                    m = dict(zip(keys_m, vals))
-                    rate = timer.tick()
-                    extra = "".join(
-                        f" {k.replace('sds_', 'sds:')}={m[k]:.4f}"
-                        for k in keys_m if k.startswith("sds_")
-                    )
-                    log_fn(
-                        f"[step {i}] loss={m['loss']:.5f} img={m['img_loss']:.5f} "
-                        f"depth={m['depth_loss']:.5f} psnr={m['psnr']:.2f}"
-                        + extra
-                        + (f" rays/s={rate:,.0f}" if rate else "")
-                    )
-                    # structured metrics stream (the observability surface the
-                    # reference stubbed out — TensorBoard import, `run.py:15,793`)
-                    import json as _json
+        # failure containment (the reference has none — SURVEY §5): persist an
+        # emergency checkpoint on any mid-run exception, then re-raise; a rerun
+        # auto-resumes from it instead of restarting.
+        try:
+            with maybe_trace(cfg.profile_dir):
+                for i in range(start, n_iters):
+                    key = jax.random.fold_in(base_key, i)
+                    if use_guidance:
+                        state, metrics = train_step(
+                            state, streams_dev, key, jnp.asarray(i, jnp.int32)
+                        )
+                    else:
+                        state, metrics = train_step(state, streams_dev, key)
+                    if i % cfg.i_print == 0:
+                        # ONE stacked fetch: per-leaf device_get costs seconds of
+                        # relay latency on tunneled TPUs (measured 4.2s for the dict
+                        # vs 0.37s for a single scalar)
+                        keys_m = tuple(
+                            k for k in ("loss", "img_loss", "depth_loss", "psnr",
+                                        "sds_rgb", "sds_normal", "sds_colla")
+                            if k in metrics
+                        )
+                        vals = np.asarray(jnp.stack([metrics[k] for k in keys_m]))
+                        m = dict(zip(keys_m, vals))
+                        rate = timer.tick()
+                        extra = "".join(
+                            f" {k.replace('sds_', 'sds:')}={m[k]:.4f}"
+                            for k in keys_m if k.startswith("sds_")
+                        )
+                        log_fn(
+                            f"[step {i}] loss={m['loss']:.5f} img={m['img_loss']:.5f} "
+                            f"depth={m['depth_loss']:.5f} psnr={m['psnr']:.2f}"
+                            + extra
+                            + (f" rays/s={rate:,.0f}" if rate else "")
+                        )
+                        # structured metrics stream (the observability surface the
+                        # reference stubbed out — TensorBoard import, `run.py:15,793`)
+                        import json as _json
 
-                    rec = {"step": i, **{k: float(v) for k, v in m.items()}}
-                    if rate:
-                        rec["rays_per_sec"] = rate
-                    metrics_log.write(_json.dumps(rec) + "\n")
-                    metrics_log.flush()
-                else:
-                    timer.tick()
-                if i > start and i % cfg.i_weights == 0:
-                    ckpt.save(jax.device_get(state))
-                    log_fn(f"saved checkpoint at step {i}")
-                if i % cfg.i_print == 0:
-                    watcher.check()  # apply control.json edits
-                if i > start and controls.i_video > 0 and i % int(controls.i_video) == 0:
-                    _render_videos(cfg, exp, state, expdir, i, controls, log_fn)
-                if i > start and cfg.i_testset > 0 and i % cfg.i_testset == 0:
-                    _render_testset(cfg, exp, state, expdir, i, log_fn)
+                        rec = {"step": i, **{k: float(v) for k, v in m.items()}}
+                        if rate:
+                            rec["rays_per_sec"] = rate
+                        metrics_log.write(_json.dumps(rec) + "\n")
+                        metrics_log.flush()
+                    else:
+                        timer.tick()
+                    if i > start and i % cfg.i_weights == 0:
+                        ckpt.save(jax.device_get(state))
+                        log_fn(f"saved checkpoint at step {i}")
+                    if i % cfg.i_print == 0:
+                        watcher.check()  # apply control.json edits
+                    if i > start and controls.i_video > 0 and i % int(controls.i_video) == 0:
+                        _render_videos(cfg, exp, state, expdir, i, controls, log_fn)
+                    if i > start and cfg.i_testset > 0 and i % cfg.i_testset == 0:
+                        _render_testset(cfg, exp, state, expdir, i, log_fn)
+        except (KeyboardInterrupt, Exception):
+            try:
+                ckpt.save(jax.device_get(state))
+                log_fn(f"emergency checkpoint saved at step {int(state.step)}")
+            except Exception as ce:
+                log_fn(f"emergency checkpoint failed: {ce}")
+            raise
 
     metrics_log.close()
     ckpt.save(jax.device_get(state))
