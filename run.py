@@ -93,11 +93,25 @@ def main(argv=None):
         )
         import dataclasses
 
-        savedir = os.path.join(expdir, f"renderonly_{step:06d}")
+        # pose-source selection (reference `run.py:552-599` render modes):
+        # --render_test  -> held-out test poses     --render_train -> train poses
+        # --render_mypath-> standalone spiral path  default        -> scene spiral
+        if cfg.render_test:
+            poses, tag = exp.streams.poses[exp.i_test], "test"
+        elif cfg.render_train:
+            poses, tag = exp.streams.poses[exp.i_train], "train"
+        elif cfg.render_mypath:
+            from mvip_tpu.eval.render_path import generate_render_path
+
+            poses, tag = generate_render_path(exp.streams.poses, focal), "mypath"
+        else:
+            poses, tag = exp.render_poses, "path"
+
+        savedir = os.path.join(expdir, f"renderonly_{tag}_{step:06d}")
         ropts = dataclasses.replace(exp.ropts, perturb=0.0, raw_noise_std=0.0)
         outs = render_pose_list(
-            exp.render_poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn,
-            ropts, render_factor=cfg.render_factor, chunk=cfg.chunk,
+            poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn,
+            ropts, render_factor=cfg.render_factor, chunk=min(cfg.chunk, 8192),
             savedir=savedir, key=jax.random.PRNGKey(0),
         )
         save_video(os.path.join(savedir, "rgb.mp4"), outs["rgb"])
