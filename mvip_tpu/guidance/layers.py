@@ -63,8 +63,16 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return (y + p["b"]).astype(x.dtype)
 
 
-def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME") -> jnp.ndarray:
-    """x [N,H,W,C]; weights HWIO; fp32 accumulation, activation-dtype output."""
+def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray:
+    """x [N,H,W,C]; weights HWIO; fp32 accumulation, activation-dtype output.
+
+    Default padding is torch-style k//2 per side (what SD checkpoints assume).
+    NOTE XLA's "SAME" pads (0,1) for stride-2 3x3 where torch pads (1,1) —
+    using SAME here would silently misalign ported SD weights (caught by
+    tests/test_torch_parity.py)."""
+    if padding is None:
+        kh, kw = p["w"].shape[:2]
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
