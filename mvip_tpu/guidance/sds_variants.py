@@ -141,3 +141,49 @@ def sds_novel_view_step(key, gm: GuidanceModels, cfg: SDSConfig, i, image,
     grad = jnp.nan_to_num((1.0 - a_t) * (eps_hat - noise)) * cfg.grad_scale
     ones = jnp.ones_like(latents[..., :1])
     return inject_gradient(latents, jax.lax.stop_gradient(grad), ones)
+
+
+def sds_rgb_perpneg_step(key, gm: GuidanceModels, cfg: SDSConfig, i, image, mask,
+                         text_embeds_dirs, weights,
+                         guidance_scale: float = 7.5) -> jnp.ndarray:
+    """Perp-Neg SDS: CFG with K directional prompts aggregated perpendicular to
+    the main positive (`perpneg_utils.py:17-48` + the `adjust_text_embeddings`
+    machinery, imported-but-uncalled in the reference's active path).
+
+    text_embeds_dirs [1+K, T, C]: [uncond | pos | neg_1..neg_{K-1}];
+    weights [K]: aggregation weights (weights[0] must be 1 for the positive).
+    """
+    from mvip_tpu.guidance.perpneg import weighted_perpendicular_aggregator
+    from mvip_tpu.guidance.sds import _prep_image_mask, _encode_latents
+    from mvip_tpu.guidance import vae as vae_mod
+
+    K = text_embeds_dirs.shape[0] - 1
+    size = cfg.latent_size
+    lat_size = size // gm.vae_cfg.downscale
+    img, m = _prep_image_mask(image, mask, size, cfg.normalize_input)
+    masked_img = img * (m < 0.5).astype(img.dtype)
+    k_enc, k_noise = jax.random.split(key)
+    z0, masked_z = _encode_latents(k_enc, gm, img, masked_img)
+    mask_lat = jax.lax.stop_gradient(resize_nearest(m, lat_size, lat_size))
+
+    t = anneal_sqrt(i, gm.min_step, gm.max_step, cfg.anneal_span_sqrt)
+    noise = jax.random.normal(k_noise, z0.shape, jnp.float32)
+    a_t = gm.alphas_cumprod[t]
+    latents = jnp.sqrt(a_t) * z0 + jnp.sqrt(1.0 - a_t) * noise
+
+    # one batched UNet pass over [uncond | K directional] conditionings
+    B = 1 + K
+    lat_b = jnp.broadcast_to(jax.lax.stop_gradient(latents), (B, *latents.shape[1:]))
+    m_b = jnp.broadcast_to(mask_lat, (B, *mask_lat.shape[1:]))
+    mz_b = jnp.broadcast_to(masked_z, (B, *masked_z.shape[1:]))
+    unet_in = jnp.concatenate([lat_b, m_b, mz_b], -1)
+    t_b = jnp.broadcast_to(jnp.atleast_1d(t), (B,))
+    eps = apply_unet(gm.unet_params, gm.unet_cfg, unet_in, t_b, text_embeds_dirs,
+                     compute_dtype=cfg.compute_dtype)
+    eps_u = eps[:1]
+    delta = eps[1:] - eps_u                                 # [K, h, w, 4]
+    agg = weighted_perpendicular_aggregator(delta, weights, 1)
+    eps_hat = eps_u + guidance_scale * agg
+
+    grad = jnp.nan_to_num((1.0 - a_t) * (eps_hat - noise)) * cfg.grad_scale
+    return inject_gradient(latents, jax.lax.stop_gradient(grad), mask_lat)

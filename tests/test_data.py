@@ -136,3 +136,22 @@ def test_build_ray_streams_scene_1():
     vv, rem = np.divmod(sample.astype(np.int64), h * w)
     rr2, cc2 = np.divmod(rem, w)
     assert (scene.masks[vv, rr2, cc2] == 0).all()
+
+
+def test_reference_config_file_parses():
+    """The reference's shipped config_1.txt parses through our config system
+    with its key semantics intact (`DS_NeRF/config/config_1.txt`)."""
+    import os
+
+    path = "/root/reference/DS_NeRF/config/config_1.txt"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference config not mounted")
+    from mvip_tpu.config import parse_config_file
+
+    vals = parse_config_file(path)
+    assert vals["N_rand"] == 1024 and vals["N_samples"] == 64
+    assert vals["N_importance"] == 64 and vals["lrate"] == 0.003
+    assert vals["is_rgb_guidance"] is True and vals["is_colla_guidance"] is False
+    assert vals["second_stage"] is True and vals["lindisp"] is True

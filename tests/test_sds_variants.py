@@ -88,3 +88,18 @@ def test_sds_novel_view_step(key):
         lambda im: sds_novel_view_step(key, gm, cfg, 10, im, cond_lat, cond_emb),
         img,
     )
+
+
+def test_sds_rgb_perpneg_step(key, tiny):
+    from mvip_tpu.guidance.sds_variants import sds_rgb_perpneg_step
+
+    gm, cfg, _ = tiny
+    C = gm.unet_cfg.cross_attention_dim
+    te_dirs = jax.random.normal(key, (4, 5, C))   # uncond + pos + 2 negatives
+    w = jnp.array([1.0, -0.5, -0.3])
+    img = jax.random.uniform(key, (1, 12, 12, 3))
+    mask = jnp.ones((1, 12, 12, 1))
+    _grad_flows(
+        lambda im: sds_rgb_perpneg_step(key, gm, cfg, 10, im, mask, te_dirs, w),
+        img,
+    )
