@@ -127,8 +127,51 @@ def bench_backbone(backbone: str) -> float:
     return ITERS * N_RAND / dt
 
 
+def bench_mlp_scan(n_inner: int = 10) -> float:
+    """Megastep variant: n_inner steps per dispatch via lax.scan — measures the
+    device-side step rate with host dispatch amortized (same per-step math)."""
+    import jax
+
+    from mvip_tpu.data.rays import build_ray_streams
+    from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import DeviceStreams, StepConfig, make_train_scan
+
+    images, masks, depths, poses, focal = _scene()
+    streams = build_ray_streams(images, masks, depths, poses, focal)
+    H, W = images.shape[1:3]
+    mcfg = NeRFMLPConfig()
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg),
+        "fine": init_nerf_mlp(jax.random.PRNGKey(2), mcfg),
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg, pts, vd)
+    ropts = RenderOptions(n_samples=N_SAMPLES, n_importance=N_IMPORTANCE,
+                          perturb=1.0, lindisp=True, raw_noise_std=1.0,
+                          white_bkgd=True)
+    scfg = StepConfig(n_rand=N_RAND, depth_loss=True, depth_lambda=0.1,
+                      near=1.2, far=7.7, H=H, W=W, focal=focal)
+    optimizer = make_optimizer(3e-3, 10)
+    state = create_train_state(params, optimizer)
+    scan = make_train_scan(scfg, ropts, apply_fn, apply_fn, optimizer, n_inner)
+    ds = DeviceStreams.from_host(streams)
+
+    key = jax.random.PRNGKey(0)
+    state, metrics = scan(state, ds, key)
+    float(metrics["loss"])
+    n_outer = max(1, ITERS // n_inner)
+    t0 = time.perf_counter()
+    for i in range(n_outer):
+        state, metrics = scan(state, ds, jax.random.fold_in(key, i + 1))
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return n_outer * n_inner * N_RAND / dt
+
+
 def main():
     mlp_rate = bench_backbone("mlp")
+    scan_rate = bench_mlp_scan()
     tri_rate = bench_backbone("triplane")
     hash_rate = bench_backbone("hashgrid")
 
@@ -142,6 +185,7 @@ def main():
         "value": round(mlp_rate, 1),
         "unit": "rays/s",
         "vs_baseline": round(mlp_rate / baseline, 2) if baseline else None,
+        "mlp_megastep_rays_per_sec": round(scan_rate, 1),
         "triplane_rays_per_sec": round(tri_rate, 1),
         "hashgrid_rays_per_sec": round(hash_rate, 1),
         "baseline_torch_cpu_rays_per_sec": baseline,

@@ -211,3 +211,36 @@ def make_train_step(
         return TrainState(state.step + 1, params, opt_state), metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_train_scan(
+    scfg: StepConfig,
+    ropts: RenderOptions,
+    coarse_apply: Callable,
+    fine_apply: Optional[Callable],
+    optimizer,
+    n_inner: int = 10,
+):
+    """Megastep: `lax.scan` n_inner optimization steps inside ONE jitted call.
+
+    TPU-native throughput trick with no reference analogue: the per-step host
+    dispatch (and, on tunneled backends, its round-trip latency) amortizes over
+    n_inner device-side steps. Returns (state, stacked_metrics_of_last_step).
+    """
+
+    def loss_fn(params, streams: DeviceStreams, key):
+        return base_losses(params, streams, key, scfg, ropts, coarse_apply, fine_apply)
+
+    def one_step(carry, key):
+        state, streams = carry
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, streams, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(state.step + 1, params, opt_state), streams), metrics
+
+    def train_scan(state: TrainState, streams: DeviceStreams, key):
+        keys = jax.random.split(key, n_inner)
+        (state, _), metrics = jax.lax.scan(one_step, (state, streams), keys)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return jax.jit(train_scan, donate_argnums=(0,))

@@ -103,3 +103,38 @@ def test_checkpoint_roundtrip(tmp_path, tiny_setup):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     mgr.close()
+
+
+def test_train_scan_runs_and_advances(tiny_setup):
+    """Megastep scan: 4 inner steps in one dispatch; step count advances, loss
+    finite, params move."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
+    from mvip_tpu.train.step import make_train_scan
+    from tests.test_train import _APPLY, _MCFG, _OPT, make_synthetic_scene
+    from mvip_tpu.data.rays import build_ray_streams
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.state import create_train_state
+    from mvip_tpu.train.step import DeviceStreams, StepConfig
+    from mvip_tpu.models.nerf_mlp import init_nerf_mlp
+
+    make_state, _, streams = tiny_setup
+    images, masks, depths, poses, focal = make_synthetic_scene()
+    H, W = images.shape[1:3]
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
+                          raw_noise_std=1.0, white_bkgd=False)
+    scfg = StepConfig(n_rand=128, depth_loss=True, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    scan = make_train_scan(scfg, ropts, _APPLY, _APPLY, _OPT, n_inner=4)
+    state = make_state()
+    p0 = jax.tree.map(lambda a: np.asarray(a).copy(), state.params)
+    state, metrics = scan(state, streams, jax.random.PRNGKey(42))
+    assert int(state.step) == 4
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()) > 0, state.params, p0)
+    )
+    assert any(moved)
