@@ -49,3 +49,23 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def restore_from_path(path: str, template: TrainState) -> TrainState:
+    """Pin a specific checkpoint (reference `--ft_path`, `run.py:1546-1547`).
+
+    `path` is either a checkpoint-manager step dir (`.../ckpt/<step>`) or the
+    manager dir itself (restores the newest)."""
+    path = os.path.abspath(path)
+    base, leaf = os.path.dirname(path), os.path.basename(path)
+    if leaf.isdigit():
+        mgr = CheckpointManager(base)
+        try:
+            return mgr.restore(template, step=int(leaf))
+        finally:
+            mgr.close()
+    mgr = CheckpointManager(path)
+    try:
+        return mgr.restore(template)
+    finally:
+        mgr.close()

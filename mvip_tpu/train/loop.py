@@ -318,7 +318,12 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
     state = create_train_state(exp.init_params, optimizer)
 
     ckpt = CheckpointManager(os.path.join(expdir, "ckpt"))
-    if not cfg.no_reload and ckpt.latest_step() is not None:
+    if cfg.ft_path:
+        from mvip_tpu.train.checkpoint import restore_from_path
+
+        state = restore_from_path(cfg.ft_path, state)
+        log_fn(f"fine-tuning from {cfg.ft_path} (step {int(state.step)})")
+    elif not cfg.no_reload and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         log_fn(f"resumed from step {int(state.step)}")
     phase("checkpoint manager ready")

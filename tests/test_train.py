@@ -138,3 +138,26 @@ def test_train_scan_runs_and_advances(tiny_setup):
         jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()) > 0, state.params, p0)
     )
     assert any(moved)
+
+
+def test_ft_path_restore(tmp_path, tiny_setup):
+    """--ft_path pins a specific checkpoint (reference run.py:1546-1547)."""
+    import jax
+    import numpy as np
+
+    from mvip_tpu.train.checkpoint import CheckpointManager, restore_from_path
+
+    make_state, step, streams = tiny_setup
+    state = make_state()
+    state, _ = step(state, streams, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(jax.device_get(state))
+    ckpt.close()
+
+    # by manager dir and by explicit step dir
+    for path in (str(tmp_path / "ckpt"), str(tmp_path / "ckpt" / "1")):
+        restored = restore_from_path(path, make_state())
+        assert int(restored.step) == 1
+        a = jax.tree_util.tree_leaves(restored.params)[0]
+        b = jax.tree_util.tree_leaves(state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
