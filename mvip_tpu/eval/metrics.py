@@ -32,23 +32,28 @@ def ssim(
     k2: float = 0.03,
 ) -> jnp.ndarray:
     """Gaussian-windowed SSIM over [H, W, C] images (standard Wang et al. form)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
     hw = filter_size // 2
-    offsets = jnp.arange(-hw, hw + 1, dtype=a.dtype)
+    offsets = jnp.arange(-hw, hw + 1, dtype=jnp.float32)
     g = jnp.exp(-(offsets**2) / (2.0 * filter_sigma**2))
     g = g / g.sum()
 
     def filt(img):
-        # separable blur along H then W, per channel
+        # separable blur along H then W, per channel. HIGHEST precision: the
+        # TPU's default bf16 conv passes make filt(a*a) - mu^2 go negative by
+        # ~1e-2, blowing SSIM past 1 (caught on real renders).
         x = jnp.moveaxis(img, -1, 0)[:, None]  # [C,1,H,W]
         kh = g.reshape(1, 1, -1, 1)
         kw = g.reshape(1, 1, 1, -1)
-        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+        p = jax.lax.Precision.HIGHEST
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", precision=p)
+        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", precision=p)
         return jnp.moveaxis(x[:, 0], 0, -1)
 
     mu_a, mu_b = filt(a), filt(b)
-    sa = filt(a * a) - mu_a**2
-    sb = filt(b * b) - mu_b**2
+    sa = jnp.maximum(filt(a * a) - mu_a**2, 0.0)
+    sb = jnp.maximum(filt(b * b) - mu_b**2, 0.0)
     sab = filt(a * b) - mu_a * mu_b
     c1, c2 = (k1 * max_val) ** 2, (k2 * max_val) ** 2
     num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)

@@ -189,3 +189,18 @@ def test_evaluate_cli(tmp_path):
     # identical images -> PSNR should be huge (capped by float)
     psnr_line = [l for l in r.stdout.splitlines() if l.startswith("PSNR")][0]
     assert float(psnr_line.split()[1]) > 50
+
+
+def test_ssim_range_and_identity(rng):
+    """SSIM(x, x) == 1; SSIM of unrelated noise stays in [-1, 1] — regression
+    for the bf16-conv variance blowup seen on real renders."""
+    from mvip_tpu.eval.metrics import ssim
+
+    x = rng.uniform(0, 1, (32, 40, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, (32, 40, 3)).astype(np.float32)
+    assert abs(float(ssim(x, x)) - 1.0) < 1e-4
+    v = float(ssim(x, y))
+    assert -1.0 <= v <= 1.0 and v < 0.2
+    # smooth related images score high
+    z = np.clip(x + 0.01 * rng.normal(size=x.shape).astype(np.float32), 0, 1)
+    assert float(ssim(x, z)) > 0.9
