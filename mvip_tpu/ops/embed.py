@@ -41,11 +41,30 @@ def positional_encoding(
     num_freqs: int,
     include_input: bool = True,
     log_sampling: bool = True,
+    order: str = "grouped",
 ) -> jnp.ndarray:
     """Encode [..., d] -> [..., d*(include_input + 2*num_freqs)].
 
     `num_freqs == 0` returns the identity (reference `i_embed == -1`).
+
+    order:
+      "grouped" (default, TPU-fast): [x | sin(f0..fL) | cos(f0..fL)] — two
+        flat trig calls + one concat; no [.., F, 2, d] stacking (which costs
+        more than the whole NeRF matmul chain on TPU — lane-padded tiny dims).
+      "interleaved": the reference's channel order
+        [x | sin f0 | cos f0 | sin f1 | ...] (`run_nerf_helpers.py:47-50`) —
+        needed only when porting torch-trained NeRF weights bit-for-bit.
+    The two differ by a fixed feature permutation; fresh training is identical.
     """
     if num_freqs == 0:
         return x
-    return _encode(x, num_freqs, include_input, log_sampling)
+    if order == "interleaved":
+        return _encode(x, num_freqs, include_input, log_sampling)
+    d = x.shape[-1]
+    if log_sampling:
+        freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)
+    else:
+        freqs = jnp.linspace(1.0, 2.0 ** (num_freqs - 1.0), num_freqs, dtype=x.dtype)
+    y = (x[..., None, :] * freqs[..., :, None]).reshape(*x.shape[:-1], num_freqs * d)
+    parts = ([x] if include_input else []) + [jnp.sin(y), jnp.cos(y)]
+    return jnp.concatenate(parts, -1)

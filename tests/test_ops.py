@@ -35,11 +35,17 @@ def np_embed(x, num_freqs):
 
 
 def test_positional_encoding_matches_reference_order(rng):
+    """order='interleaved' reproduces the reference channel order exactly;
+    the default 'grouped' order is the same feature set permuted (TPU-fast)."""
     x = rng.standard_normal((17, 3)).astype(np.float32)
-    got = positional_encoding(jnp.asarray(x), 10)
+    got = positional_encoding(jnp.asarray(x), 10, order="interleaved")
     want = np_embed(x, 10)
     assert got.shape == (17, embedding_dim(3, 10))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+    grouped = np.asarray(positional_encoding(jnp.asarray(x), 10))
+    np.testing.assert_allclose(np.sort(grouped, -1), np.sort(want, -1),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_positional_encoding_identity():
