@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mvip_tpu.render.renderer import RenderOptions, render_image
-from mvip_tpu.utils.imaging import save_image, to8b
+from mvip_tpu.utils.imaging import save_image
 
 
 def render_pose_list(

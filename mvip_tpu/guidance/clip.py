@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mvip_tpu.guidance.layers import (
-    Params,
     attn_init,
     attention,
     layer_norm,

@@ -6,15 +6,16 @@ orbit poses per step, applies progressive view-range relaxation, and dispatches
 to the enabled SDS variants (RGB / collaborative / normal) plus optional CLIP
 guidance, returning one scalar guidance loss.
 
-TPU-first: the SDS math itself is pure and jit-cached per input shape (built
-once via `make_loss_fns`); only the pose draw / progressive-view bookkeeping
-stays on host, exactly the parts that mutate python state in the reference.
+TPU-first: the SDS math itself is pure and jit-cached per input shape (the
+jitted closures are built once in __init__); only the pose draw /
+progressive-view bookkeeping stays on host, exactly the parts that mutate
+python state in the reference.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from dataclasses import dataclass
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

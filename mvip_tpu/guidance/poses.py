@@ -8,7 +8,7 @@ instead of global torch/python RNG state.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

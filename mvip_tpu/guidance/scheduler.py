@@ -12,7 +12,7 @@ guidance variants; a DDIM `step` is included for the full inference sampler
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax.numpy as jnp

@@ -33,7 +33,7 @@ Reference bugs reproduced ONLY behind flags (SURVEY.md §2.5):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ All reuse `_sds_core`'s schedule/CFG/injection plumbing and are jit-friendly.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,6 @@ from mvip_tpu.guidance.scheduler import anneal_sqrt
 from mvip_tpu.guidance.sds import (
     GuidanceModels,
     SDSConfig,
-    _cfg_eps,
     _sds_core,
     inject_gradient,
 )

@@ -29,7 +29,6 @@ from mvip_tpu.guidance.layers import (
     conv2d,
     conv_init,
     group_norm,
-    linear,
     norm_init,
     silu,
     upsample_nearest_2x,

@@ -15,7 +15,7 @@ Transforms (torch -> TPU-native layout):
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,6 @@ output contract as the other backbones.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Any, Dict
 

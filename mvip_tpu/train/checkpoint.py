@@ -9,7 +9,7 @@ unless `no_reload`, or a pinned path via `ft_path`.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -11,16 +11,15 @@ pipeline can be exercised end-to-end (plumbing-correct, semantically untrained).
 from __future__ import annotations
 
 import hashlib
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mvip_tpu.config import Config
-from mvip_tpu.guidance.clip import CLIPTextConfig, apply_clip_text, init_clip_text, tokenize
+from mvip_tpu.guidance.clip import apply_clip_text, tokenize
 from mvip_tpu.guidance.scheduler import DiffusionSchedule
-from mvip_tpu.guidance.sds import GuidanceModels, SDSConfig, make_guidance_models
+from mvip_tpu.guidance.sds import SDSConfig, make_guidance_models
 from mvip_tpu.guidance.unet import init_unet, tiny_unet_config
 from mvip_tpu.guidance.vae import init_vae, tiny_vae_config
 from mvip_tpu.train.mvip_step import MVIPConfig
