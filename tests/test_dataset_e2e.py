@@ -83,3 +83,48 @@ def test_train_on_synthetic_dataset(tmp_path, dataset):
     assert any("step 3" in l for l in logs), logs[-3:]
     ckpt_dir = tmp_path / "logs" / f"{dataset}_e2e" / "ckpt"
     assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
+
+
+def _write_nerd_fixture(root, n=3, H=16, W=20):
+    import imageio.v2 as imageio
+
+    imgdir = os.path.join(root, "images")
+    mskdir = os.path.join(imgdir, "masks")
+    os.makedirs(mskdir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        name = f"{i:03d}.png"
+        imageio.imwrite(os.path.join(imgdir, name),
+                        rng.uniform(0, 255, (H, W, 3)).astype(np.uint8))
+        m = np.zeros((H, W), np.uint8)
+        m[4:10, 6:12] = 255
+        imageio.imwrite(os.path.join(mskdir, name), m)
+        th = 0.4 * i
+        c, s = np.cos(th), np.sin(th)
+        # LLFF pose row: [3x5 (rot | t | hwf)] + [close, inf]
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        pose = np.concatenate(
+            [rot, np.array([[4 * s], [0], [4 * c]]), np.array([[H], [W], [18.0]])], 1
+        )
+        rows.append(np.concatenate([pose.ravel(), [2.0, 6.0]]))
+    np.save(os.path.join(root, "poses_bounds.npy"), np.asarray(rows))
+
+
+def test_train_on_synthetic_nerd(tmp_path):
+    from mvip_tpu.config import Config
+    from mvip_tpu.train.loop import train
+
+    data = tmp_path / "data"
+    _write_nerd_fixture(str(data))
+    cfg = Config(
+        expname="nerd_e2e", basedir=str(tmp_path / "logs"),
+        datadir=str(data), dataset_type="nerd", factor=1, no_ndc=True,
+        N_rand=16, N_samples=4, N_importance=0, N_iters=3, i_print=1,
+        i_weights=100, i_video=0, i_testset=0,
+        no_tcnn=True, netdepth=2, netwidth=16, multires=2, multires_views=2,
+        depth_loss=False, raw_noise_std=1.0, second_stage=False,
+    )
+    logs = []
+    train(cfg, log_fn=logs.append)
+    assert any("step 3" in l for l in logs), logs[-3:]
