@@ -9,17 +9,21 @@ import os
 import subprocess
 import sys
 
-# Prefer the virtual 8-device CPU mesh. NOTE: under the axon TPU tunnel a
-# sitecustomize registers the TPU backend before conftest runs, so these env vars
-# may be ignored — the suite must then still pass on the single real chip.
+# Run the suite on a virtual 8-device CPU mesh. Under the axon TPU tunnel a
+# sitecustomize registers the TPU plugin at interpreter start (env vars set here
+# come too late), but `jax.config.update("jax_platforms", ...)` still wins as
+# long as no backend has initialized — so the suite runs on CPU even there
+# (the tunneled chip compiles remotely at ~6min/program; CPU is minutes total).
 # Multi-device sharding tests run in a clean-env subprocess (see clean_cpu_env).
-os.environ["JAX_PLATFORMS"] = os.environ.get("MVIP_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("MVIP_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_threefry_partitionable", True)
 
 import numpy as np  # noqa: E402
