@@ -51,6 +51,8 @@ class Experiment:
     scfg: StepConfig
     i_train: np.ndarray
     i_test: np.ndarray
+    backbone: str = ""
+    model_cfg: Any = None
 
 
 def load_scene(cfg: Config):
@@ -168,7 +170,7 @@ def build_models(cfg: Config, key: jax.Array):
         if cfg.N_importance > 0:
             params["fine"] = init_triplane_nerf(k2, tcfg)
             fine_apply = coarse_apply
-        return coarse_apply, fine_apply, params
+        return coarse_apply, fine_apply, params, "triplane", tcfg
     if backbone == "mlp":
         mcfg = NeRFMLPConfig(
             depth=cfg.netdepth, width=cfg.netwidth,
@@ -192,7 +194,7 @@ def build_models(cfg: Config, key: jax.Array):
             fine_apply = partial(
                 lambda c, p, pts, vd: apply_nerf_mlp(p, c, pts, vd, compute_dtype), fcfg
             )
-        return coarse_apply, fine_apply, params
+        return coarse_apply, fine_apply, params, "mlp", mcfg
 
     hcfg = HashGridConfig()
     params = {"coarse": init_hashgrid_nerf(k1, hcfg)}
@@ -203,12 +205,12 @@ def build_models(cfg: Config, key: jax.Array):
     if cfg.N_importance > 0:
         params["fine"] = init_hashgrid_nerf(k2, hcfg)
         fine_apply = coarse_apply
-    return coarse_apply, fine_apply, params
+    return coarse_apply, fine_apply, params, "hashgrid", hcfg
 
 
 def setup_experiment(cfg: Config) -> Experiment:
     streams, near, far, hwf, render_poses, i_train, i_test = load_scene(cfg)
-    coarse_apply, fine_apply, params = build_models(
+    coarse_apply, fine_apply, params, backbone, model_cfg = build_models(
         cfg, jax.random.PRNGKey(cfg.seed)
     )
     H, W, focal = hwf
@@ -242,7 +244,7 @@ def setup_experiment(cfg: Config) -> Experiment:
         cfg=cfg, streams=streams, near=near, far=far, hwf=hwf,
         render_poses=np.asarray(render_poses), coarse_apply=coarse_apply,
         fine_apply=fine_apply, init_params=params, ropts=ropts, scfg=scfg,
-        i_train=i_train, i_test=i_test,
+        i_train=i_train, i_test=i_test, backbone=backbone, model_cfg=model_cfg,
     )
 
 
@@ -254,6 +256,61 @@ def _model_fns_from_state(exp: Experiment, state: TrainState):
         else None
     )
     return coarse_fn, fine_fn
+
+
+def _fused_eval_available(exp) -> bool:
+    """The Pallas render megakernel serves MLP-backbone eval renders on TPU
+    (1.9x the XLA path — ops/pallas_render.py)."""
+    try:
+        import jax as _jax
+
+        return exp.backbone == "mlp" and _jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _render_pose_list_dispatch(cfg, exp, state, poses, ropts, render_factor,
+                               savedir=None):
+    """Pose-list render via the fused megakernel when available, XLA otherwise."""
+    import jax as _jax
+
+    H, W, focal = exp.hwf
+    if render_factor and render_factor > 1:
+        H, W, focal = H // render_factor, W // render_factor, focal / render_factor
+    if _fused_eval_available(exp) and exp.ropts.n_importance >= 0:
+        from mvip_tpu.ops.pallas_render import fused_render_image
+        from mvip_tpu.utils.imaging import save_image
+
+        outs = {"rgb": [], "disp": [], "acc": [], "depth": []}
+        for i, pose in enumerate(np.asarray(poses)):
+            ret = fused_render_image(
+                state.params["coarse"], state.params.get("fine") or
+                state.params["coarse"], exp.model_cfg, H, W, focal,
+                jnp.asarray(pose[:3, :4]), exp.near, exp.far,
+                exp.ropts.n_samples, exp.ropts.n_importance,
+                lindisp=exp.ropts.lindisp, white_bkgd=ropts.white_bkgd,
+                chunk=min(cfg.chunk, 8192),
+            )
+            frame = {k: np.asarray(v) for k, v in ret.items()}
+            for k in outs:
+                outs[k].append(frame[k])
+            if savedir:
+                import os as _os
+
+                save_image(_os.path.join(savedir, "rgb", f"{i:03d}.png"),
+                           frame["rgb"])
+                _os.makedirs(_os.path.join(savedir, "depth"), exist_ok=True)
+                np.save(_os.path.join(savedir, "depth", f"{i:03d}.npy"),
+                        frame["depth"])
+        return {k: np.stack(v) for k, v in outs.items()}
+    from mvip_tpu.eval.render_path import render_pose_list
+
+    coarse_fn, fine_fn = _model_fns_from_state(exp, state)
+    return render_pose_list(
+        poses, *exp.hwf[:2], exp.hwf[2], exp.near, exp.far, coarse_fn, fine_fn,
+        ropts, render_factor=render_factor, chunk=min(cfg.chunk, 8192),
+        savedir=savedir, key=jax.random.PRNGKey(0),
+    )
 
 
 def _render_videos(cfg, exp, state, expdir, step, controls, log_fn):
@@ -269,10 +326,9 @@ def _render_videos(cfg, exp, state, expdir, step, controls, log_fn):
         exp.ropts, perturb=0.0, raw_noise_std=0.0,
         white_bkgd=bool(controls.white_bkgd),
     )
-    outs = render_pose_list(
-        exp.render_poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn,
-        ropts, render_factor=int(controls.render_factor) or cfg.render_factor,
-        chunk=min(cfg.chunk, 8192), key=jax.random.PRNGKey(0),
+    outs = _render_pose_list_dispatch(
+        cfg, exp, state, exp.render_poses, ropts,
+        int(controls.render_factor) or cfg.render_factor,
     )
     base = os.path.join(expdir, f"{cfg.expname}_spiral_{step:06d}_")
     save_video(base + "rgb.mp4", outs["rgb"])
@@ -293,11 +349,8 @@ def _render_testset(cfg, exp, state, expdir, step, log_fn):
     ropts = dataclasses.replace(exp.ropts, perturb=0.0, raw_noise_std=0.0)
     poses = exp.streams.poses[exp.i_test]
     savedir = os.path.join(expdir, f"testset_{step:06d}")
-    render_pose_list(
-        poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn, ropts,
-        render_factor=cfg.render_factor, chunk=min(cfg.chunk, 8192),
-        savedir=savedir, key=jax.random.PRNGKey(0),
-    )
+    _render_pose_list_dispatch(cfg, exp, state, poses, ropts,
+                               cfg.render_factor, savedir=savedir)
     log_fn(f"saved test set at step {step} -> {savedir}")
 
 
