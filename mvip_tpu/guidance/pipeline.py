@@ -58,9 +58,9 @@ def produce_latents(
     lc = gm.vae_cfg.latent_channels
     extra = gm.unet_cfg.in_channels - lc
     if extra > 0 and mask_lat is None:
-        # 9-ch inpainting UNet driven as text2img: zero mask + zero masked
-        # latents = "nothing to preserve" (standard inpaint-UNet convention)
-        mask_lat = jnp.zeros((B, h, w, extra - lc))
+        # 9-ch inpainting UNet driven as text2img: mask=1 everywhere (the whole
+        # image is the hole) + zero masked-image latents = free generation
+        mask_lat = jnp.ones((B, h, w, extra - lc))
         masked_lat = jnp.zeros((B, h, w, lc))
 
     def body(lat, t_pair):

@@ -184,7 +184,7 @@ def _sds_core(key, gm: GuidanceModels, cfg: SDSConfig, image, mask, text_embeds,
 
 
 def sds_rgb_step(key, gm: GuidanceModels, cfg: SDSConfig, i, image, mask,
-                 text_embeds) -> jnp.ndarray:
+                 text_embeds, return_aux: bool = False):
     """SDS on the composited RGB render (`train_step_sd`, `sd_utils.py:275-429`).
 
     image [1,H,W,3] in [0,1] (masked region = NeRF render, rest = GT);
@@ -193,12 +193,16 @@ def sds_rgb_step(key, gm: GuidanceModels, cfg: SDSConfig, i, image, mask,
     t = anneal_sqrt(i, gm.min_step, gm.max_step, cfg.anneal_span_sqrt)
     grad, latents, mask_lat = _sds_core(key, gm, cfg, image, mask, text_embeds, t,
                                         cfg.guidance_scale)
-    return inject_gradient(latents, jax.lax.stop_gradient(grad), mask_lat)
+    loss = inject_gradient(latents, jax.lax.stop_gradient(grad), mask_lat)
+    if return_aux:
+        return loss, jnp.mean(jnp.abs(grad))
+    return loss
 
 
 def sds_normal_step(key, gm: GuidanceModels, cfg: SDSConfig, i, normal_map, mask,
                     text_embeds, normal_start: int = 0,
-                    guidance_scale: Optional[float] = None) -> jnp.ndarray:
+                    guidance_scale: Optional[float] = None,
+                    return_aux: bool = False):
     """SDS on the rendered normal map (`train_step_sd_normal`, `sd_utils.py:120-272`).
 
     Timestep anneal offset by `normal_start` (`:208`); separate prompt/scale
@@ -209,12 +213,15 @@ def sds_normal_step(key, gm: GuidanceModels, cfg: SDSConfig, i, normal_map, mask
         key, gm, cfg, normal_map, mask, text_embeds, t,
         guidance_scale if guidance_scale is not None else cfg.guidance_scale,
     )
-    return inject_gradient(latents, jax.lax.stop_gradient(grad), mask_lat)
+    loss = inject_gradient(latents, jax.lax.stop_gradient(grad), mask_lat)
+    if return_aux:
+        return loss, jnp.mean(jnp.abs(grad))
+    return loss
 
 
 def sds_colla_step(key, gm: GuidanceModels, cfg: SDSConfig, i, images, masks,
                    text_embeds, anneal_over_neighbors: bool = False,
-                   colla_apply: str = "all") -> jnp.ndarray:
+                   colla_apply: str = "all", return_aux: bool = False):
     """Collaborative multi-view SDS (`train_step_colla_sds`, `sd_utils.py:432-599`).
 
     images [N,H,W,3] (neighboring-view renders), masks [N,H,W,1],
@@ -248,9 +255,14 @@ def sds_colla_step(key, gm: GuidanceModels, cfg: SDSConfig, i, images, masks,
     # consensus: sum per-view grads (reference accumulates into one buffer, `:575`)
     g_sum = jnp.sum(grad, axis=0, keepdims=True)
     if colla_apply == "last":
-        return inject_gradient(
+        loss = inject_gradient(
             latents[-1:], jax.lax.stop_gradient(g_sum), m_lat[-1:]
         )
-    return inject_gradient(
-        latents, jax.lax.stop_gradient(jnp.broadcast_to(g_sum, grad.shape)), m_lat
-    )
+    else:
+        loss = inject_gradient(
+            latents, jax.lax.stop_gradient(jnp.broadcast_to(g_sum, grad.shape)),
+            m_lat,
+        )
+    if return_aux:
+        return loss, jnp.mean(jnp.abs(g_sum))
+    return loss

@@ -50,9 +50,14 @@ def build_guidance(cfg: Config):
 
         unet_p, vae_p, text_p, (ucfg, vcfg, tcfg) = load_sd_guidance(cfg.sd_weights)
         gm = make_guidance_models(unet_p, vae_p, ucfg, vcfg, DiffusionSchedule())
-        ids_c = jnp.asarray(tokenize([cfg.text or ""], cfg.sd_weights))
-        ids_u = jnp.asarray(tokenize([cfg.negative or ""], cfg.sd_weights))
-        ids_n = jnp.asarray(tokenize([cfg.text_normal or cfg.text or ""], cfg.sd_weights))
+        import os as _os
+
+        # diffusers snapshots keep the vocab under tokenizer/
+        tok_dir = _os.path.join(cfg.sd_weights, "tokenizer")
+        tok_path = tok_dir if _os.path.isdir(tok_dir) else cfg.sd_weights
+        ids_c = jnp.asarray(tokenize([cfg.text or ""], tok_path))
+        ids_u = jnp.asarray(tokenize([cfg.negative or ""], tok_path))
+        ids_n = jnp.asarray(tokenize([cfg.text_normal or cfg.text or ""], tok_path))
         cond = apply_clip_text(text_p, tcfg, ids_c)
         uncond = apply_clip_text(text_p, tcfg, ids_u)
         cond_n = apply_clip_text(text_p, tcfg, ids_n)

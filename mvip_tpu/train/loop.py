@@ -53,10 +53,17 @@ class Experiment:
     i_test: np.ndarray
     backbone: str = ""
     model_cfg: Any = None
+    test_poses: Any = None
 
 
 def load_scene(cfg: Config):
-    """Dataset dispatch (`run.py:325-520`). Returns a RayStreams + bounds bundle."""
+    """Dataset dispatch (`run.py:325-520`). Returns (streams, near, far, hwf,
+    render_poses, i_train, i_test, test_poses).
+
+    Ray streams are built from TRAIN views only (the reference stacks rays
+    "train images only", `run.py:634`, and picks guidance views from i_train,
+    `run.py:864`); held-out poses are returned separately for evaluation.
+    """
     if cfg.dataset_type == "llff":
         from mvip_tpu.data.llff import load_llff_scene
 
@@ -79,18 +86,19 @@ def load_scene(cfg: Config):
         else:
             near, far = 0.0, 1.0
         masks = np.abs(scene.masks) if cfg.object_removal else scene.masks
-        streams = build_ray_streams(
-            scene.images, masks, scene.inpainted_depths, scene.poses,
-            scene.focal, depth_gts, cfg.max_masked_pixels,
-        )
         n = len(scene.images)
-        i_test = np.array([scene.i_test])
         if cfg.llffhold > 0:
             i_test = np.arange(n)[:: cfg.llffhold]
-        i_train = np.arange(n)
-        return streams, near, far, scene.hwf, scene.render_poses, i_train, i_test
+            i_train = np.array([i for i in range(n) if i not in set(i_test.tolist())])
+        else:
+            # SPIn-NeRF split: the loaded set IS the train slice (poses[40:]);
+            # the reference trains on all of it, i_test included (`run.py:427`)
+            i_test = np.array([scene.i_test])
+            i_train = np.arange(n)
+        images, inp_depths, poses = scene.images, scene.inpainted_depths, scene.poses
+        hwf, render_poses, focal = scene.hwf, scene.render_poses, scene.focal
 
-    if cfg.dataset_type == "blender":
+    elif cfg.dataset_type == "blender":
         from mvip_tpu.data.blender import load_blender_scene
 
         scene = load_blender_scene(cfg.datadir, cfg.half_res, cfg.testskip)
@@ -104,44 +112,60 @@ def load_scene(cfg: Config):
         masks = np.zeros((n, H, W), np.float32)
         if scene.masks.size:
             masks[: len(scene.masks)] = scene.masks[..., 0] if scene.masks.ndim == 4 else scene.masks
-        depths = np.zeros((n, H, W), np.float32)
-        streams = build_ray_streams(
-            imgs.astype(np.float32), masks, depths,
-            scene.poses[:, :3, :4], scene.hwf[2], None, cfg.max_masked_pixels,
-        )
-        return streams, 2.0, 6.0, scene.hwf, scene.render_poses, i_train, i_test
+        images = imgs.astype(np.float32)
+        inp_depths = np.zeros((n, H, W), np.float32)
+        poses = scene.poses[:, :3, :4]
+        near, far = 2.0, 6.0
+        hwf, render_poses, focal = scene.hwf, scene.render_poses, scene.hwf[2]
+        depth_gts = None
 
-    if cfg.dataset_type == "dtu":
+    elif cfg.dataset_type == "dtu":
         from mvip_tpu.data.dtu import load_dtu_scene
 
         scene = load_dtu_scene(cfg.datadir)
         n, H, W = scene.images.shape[:3]
         masks = np.zeros((n, H, W), np.float32)
-        depths = np.zeros((n, H, W), np.float32)
-        streams = build_ray_streams(
-            scene.images, masks, depths, scene.poses, scene.hwf[2], None,
-            cfg.max_masked_pixels,
-        )
+        images = scene.images
+        inp_depths = np.zeros((n, H, W), np.float32)
+        poses = scene.poses
         i_test = np.array(cfg.test_scene or [0])
         i_train = np.array([i for i in range(n) if i not in set(i_test.tolist())])
-        return streams, scene.near, scene.far, scene.hwf, scene.poses[i_test], i_train, i_test
+        near, far = scene.near, scene.far
+        hwf, render_poses, focal = scene.hwf, scene.poses[i_test], scene.hwf[2]
+        depth_gts = None
 
-    if cfg.dataset_type == "nerd":
+    elif cfg.dataset_type == "nerd":
         from mvip_tpu.data.nerd import load_nerd_scene
 
         scene = load_nerd_scene(cfg.datadir, factor=cfg.factor, spherify=cfg.spherify)
         n, H, W = scene.images.shape[:3]
-        depths = np.zeros((n, H, W), np.float32)
-        streams = build_ray_streams(
-            scene.images, scene.masks, depths, scene.poses, scene.hwf[2], None,
-            cfg.max_masked_pixels,
-        )
+        images, masks = scene.images, scene.masks
+        inp_depths = np.zeros((n, H, W), np.float32)
+        poses = scene.poses
         near = float(scene.bds.min() * 0.9) if cfg.no_ndc else 0.0
         far = float(scene.bds.max()) if cfg.no_ndc else 1.0
+        i_test = np.array([scene.i_test])
         i_train = np.arange(n)
-        return streams, near, far, scene.hwf, scene.render_poses, i_train, np.array([scene.i_test])
+        hwf, render_poses, focal = scene.hwf, scene.render_poses, scene.hwf[2]
+        depth_gts = None
 
-    raise ValueError(f"unknown dataset_type {cfg.dataset_type!r}")
+    else:
+        raise ValueError(f"unknown dataset_type {cfg.dataset_type!r}")
+
+    test_poses = np.asarray(poses)[i_test, :3, :4]
+    train_set = set(np.asarray(i_train).tolist())
+    if depth_gts is not None and len(depth_gts) == len(images):
+        depth_gts = [depth_gts[i] for i in sorted(train_set)]
+    streams = build_ray_streams(
+        np.asarray(images)[i_train],
+        np.asarray(masks)[i_train],
+        np.asarray(inp_depths)[i_train],
+        np.asarray(poses)[i_train, :3, :4],
+        focal,
+        depth_gts,
+        cfg.max_masked_pixels,
+    )
+    return streams, near, far, hwf, render_poses, i_train, i_test, test_poses
 
 
 def build_models(cfg: Config, key: jax.Array):
@@ -209,7 +233,7 @@ def build_models(cfg: Config, key: jax.Array):
 
 
 def setup_experiment(cfg: Config) -> Experiment:
-    streams, near, far, hwf, render_poses, i_train, i_test = load_scene(cfg)
+    streams, near, far, hwf, render_poses, i_train, i_test, test_poses = load_scene(cfg)
     coarse_apply, fine_apply, params, backbone, model_cfg = build_models(
         cfg, jax.random.PRNGKey(cfg.seed)
     )
@@ -245,17 +269,14 @@ def setup_experiment(cfg: Config) -> Experiment:
         render_poses=np.asarray(render_poses), coarse_apply=coarse_apply,
         fine_apply=fine_apply, init_params=params, ropts=ropts, scfg=scfg,
         i_train=i_train, i_test=i_test, backbone=backbone, model_cfg=model_cfg,
+        test_poses=test_poses,
     )
 
 
 def _model_fns_from_state(exp: Experiment, state: TrainState):
-    coarse_fn = partial(exp.coarse_apply, state.params["coarse"])
-    fine_fn = (
-        partial(exp.fine_apply, state.params["fine"])
-        if exp.fine_apply is not None and state.params.get("fine") is not None
-        else None
-    )
-    return coarse_fn, fine_fn
+    from mvip_tpu.train.step import model_fns
+
+    return model_fns(state.params, exp.coarse_apply, exp.fine_apply)
 
 
 def _fused_eval_available(exp) -> bool:
@@ -277,7 +298,7 @@ def _render_pose_list_dispatch(cfg, exp, state, poses, ropts, render_factor,
     H, W, focal = exp.hwf
     if render_factor and render_factor > 1:
         H, W, focal = H // render_factor, W // render_factor, focal / render_factor
-    if _fused_eval_available(exp) and exp.ropts.n_importance >= 0:
+    if _fused_eval_available(exp):
         from mvip_tpu.ops.pallas_render import fused_render_image
         from mvip_tpu.utils.imaging import save_image
 
@@ -317,11 +338,8 @@ def _render_videos(cfg, exp, state, expdir, step, controls, log_fn):
     """Periodic spiral-path video dump (`run.py:1055-1088`: rgb.mp4, disp.mp4)."""
     import dataclasses
 
-    from mvip_tpu.eval.render_path import render_pose_list
     from mvip_tpu.utils.imaging import save_video
 
-    coarse_fn, fine_fn = _model_fns_from_state(exp, state)
-    H, W, focal = exp.hwf
     ropts = dataclasses.replace(
         exp.ropts, perturb=0.0, raw_noise_std=0.0,
         white_bkgd=bool(controls.white_bkgd),
@@ -342,12 +360,8 @@ def _render_testset(cfg, exp, state, expdir, step, log_fn):
     """Periodic test-pose render tree (`run.py:1286-1350` savedir dumps)."""
     import dataclasses
 
-    from mvip_tpu.eval.render_path import render_pose_list
-
-    coarse_fn, fine_fn = _model_fns_from_state(exp, state)
-    H, W, focal = exp.hwf
     ropts = dataclasses.replace(exp.ropts, perturb=0.0, raw_noise_std=0.0)
-    poses = exp.streams.poses[exp.i_test]
+    poses = exp.test_poses
     savedir = os.path.join(expdir, f"testset_{step:06d}")
     _render_pose_list_dispatch(cfg, exp, state, poses, ropts,
                                cfg.render_factor, savedir=savedir)
@@ -437,7 +451,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         metrics_log = open(os.path.join(expdir, "metrics.jsonl"), "a")
         # failure containment (the reference has none — SURVEY §5): persist an
         # emergency checkpoint on any mid-run exception, then re-raise; a rerun
-        # auto-resumes from it instead of restarting.
+        # auto-resumes from it instead of restarting. Handles close either way.
         try:
             with maybe_trace(cfg.profile_dir):
                 for i in range(start, n_iters):
@@ -492,13 +506,18 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         _render_testset(cfg, exp, state, expdir, i, log_fn)
         except (KeyboardInterrupt, Exception):
             try:
-                ckpt.save(jax.device_get(state))
-                log_fn(f"emergency checkpoint saved at step {int(state.step)}")
+                if ckpt.latest_step() != int(state.step):
+                    ckpt.save(jax.device_get(state))
+                    log_fn(f"emergency checkpoint saved at step {int(state.step)}")
             except Exception as ce:
                 log_fn(f"emergency checkpoint failed: {ce}")
+            finally:
+                metrics_log.close()
+                ckpt.close()
             raise
 
     metrics_log.close()
-    ckpt.save(jax.device_get(state))
+    if ckpt.latest_step() != int(state.step):  # i_weights may have just saved it
+        ckpt.save(jax.device_get(state))
     ckpt.close()
     return state

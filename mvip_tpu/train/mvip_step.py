@@ -119,6 +119,13 @@ def make_mvip_train_step(
         coarse_fn, fine_fn = model_fns(params, coarse_apply, fine_apply)
         k_view, k_r, k_sds, k_n, k_rn, k_c, k_rc = jax.random.split(key, 7)
         n_views = streams.images.shape[0]
+        if streams.masked_coords.shape[1] == 0 and (
+            mcfg.is_rgb_guidance or mcfg.is_colla_guidance
+        ):
+            raise ValueError(
+                "SDS guidance requires inpainting masks, but the dataset has "
+                "no masked pixels (masked_coords is empty)"
+            )
         v = jax.random.randint(k_view, (), 0, n_views)
 
         sds_total = jnp.zeros(())
@@ -137,12 +144,12 @@ def make_mvip_train_step(
             cc = streams.masked_coords[v]
             combined = gt.at[cc[:, 1], cc[:, 0]].set(ret["rgb"])     # scatter render
             mask_img = streams.masks[v][..., None]                   # [H, W, 1]
-            sds_rgb = sds_rgb_step(
+            sds_rgb, rgb_gmag = sds_rgb_step(
                 k_sds, gm, sds_rgb_cfg, i, combined[None], mask_img[None],
-                text_pair_rgb,
+                text_pair_rgb, return_aux=True,
             )
             sds_total = sds_total + sds_rgb
-            metrics["sds_rgb"] = sds_rgb
+            metrics["sds_rgb"] = rgb_gmag  # mean |grad| — the meaningful signal
 
         # --- 3: normal-map SDS -------------------------------------------------
         if mcfg.is_normal_guidance:
@@ -158,14 +165,15 @@ def make_mvip_train_step(
             mask_n = jax.image.resize(
                 streams.masks[v][..., None], (Hn, Wn, 1), "nearest"
             )
-            sds_n = sds_normal_step(
+            sds_n, n_gmag = sds_normal_step(
                 k_n, gm, sds_normal_cfg, i, normal_map[None], mask_n[None],
                 text_pair_normal, normal_start=mcfg.normal_start,
+                return_aux=True,
             )
             # reference gates on i > normal_start (`nerf/utils.py:298`)
-            sds_n = jnp.where(i > mcfg.normal_start, sds_n, 0.0)
-            sds_total = sds_total + sds_n
-            metrics["sds_normal"] = sds_n
+            gate = (i > mcfg.normal_start).astype(jnp.float32)
+            sds_total = sds_total + gate * sds_n
+            metrics["sds_normal"] = gate * n_gmag
 
         # --- 4: collaborative multi-view SDS -----------------------------------
         if mcfg.is_colla_guidance:
@@ -188,12 +196,13 @@ def make_mvip_train_step(
 
             keys_c = jax.random.split(k_rc, mcfg.colla_n_views)
             rgbs, masks_c = jax.lax.map(render_one, (keys_c, vids))
-            sds_c = sds_colla_step(
-                k_c, gm, sds_colla_cfg, i, rgbs, masks_c, text_pair_rgb
+            sds_c, c_gmag = sds_colla_step(
+                k_c, gm, sds_colla_cfg, i, rgbs, masks_c, text_pair_rgb,
+                return_aux=True,
             )
-            sds_c = jnp.where(i > 0, sds_c, 0.0)  # `nerf/utils.py:292`
-            sds_total = sds_total + sds_c
-            metrics["sds_colla"] = sds_c
+            gate_c = (i > 0).astype(jnp.float32)  # `nerf/utils.py:292`
+            sds_total = sds_total + gate_c * sds_c
+            metrics["sds_colla"] = gate_c * c_gmag
 
         return sds_total, metrics
 

@@ -51,7 +51,20 @@ class DeviceStreams(NamedTuple):
 
     @classmethod
     def from_host(cls, streams, device=None) -> "DeviceStreams":
-        arrs = [jnp.asarray(getattr(streams, f)) for f in cls._fields]
+        arrs = []
+        for f in cls._fields:
+            host = getattr(streams, f)
+            import numpy as _np
+
+            if getattr(host, "dtype", None) == _np.int64 and (
+                _np.abs(host).max(initial=0) >= _np.iinfo(_np.int32).max
+            ):
+                # jnp.asarray would silently truncate to int32 (x64 disabled)
+                raise OverflowError(
+                    f"stream {f!r} holds linear indices beyond int32 range; "
+                    "scene too large for the implicit ray pool layout"
+                )
+            arrs.append(jnp.asarray(host))
         return cls(*arrs)
 
 
@@ -165,7 +178,7 @@ def base_losses(params, streams: DeviceStreams, key, scfg: StepConfig,
         if scfg.sigma_loss:
             sl = sigma_loss(
                 k_r3, ro_d, rd_d,
-                rd_d / jnp.linalg.norm(rd_d, -1, keepdims=True),
+                rd_d / jnp.linalg.norm(rd_d, axis=-1, keepdims=True),
                 scfg.near, t_d, fine_fn or coarse_fn,
                 ropts.n_samples, ropts.perturb, ropts.raw_noise_std,
             ).mean()
