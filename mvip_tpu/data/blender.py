@@ -80,10 +80,21 @@ def load_blender_scene(basedir: str, half_res: bool = False, testskip: int = 1) 
                 root = os.path.dirname(d)
                 mpath = os.path.join(root, "mask", f"m_{stem}.png")
                 opath = os.path.join(root, "object", f"o_{stem}.png")
+                img_probe = np.asarray(imageio.imread(fname))
+                # a missing mask/object file appends a zero placeholder — the
+                # arrays are documented index-aligned with train frames, and a
+                # silent skip would shift every later frame's mask by one
                 if os.path.exists(mpath):
                     masks.append(np.asarray(imageio.imread(mpath)))
+                elif masks:
+                    masks.append(np.zeros_like(masks[-1]))
                 if os.path.exists(opath):
                     objects.append(np.asarray(imageio.imread(opath)))
+                elif objects:
+                    objects.append(np.zeros_like(objects[-1]))
+                imgs.append(img_probe)
+                poses.append(np.array(frame["transform_matrix"], np.float32))
+                continue
             imgs.append(np.asarray(imageio.imread(fname)))
             poses.append(np.array(frame["transform_matrix"], np.float32))
         imgs = (np.stack(imgs) / 255.0).astype(np.float32)  # RGBA kept

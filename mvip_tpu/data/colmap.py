@@ -168,7 +168,11 @@ def read_cameras_text(path: str) -> Dict[int, Camera]:
 def read_images_text(path: str) -> Dict[int, Image]:
     images = {}
     with open(path) as fh:
-        lines = [l.strip() for l in fh if l.strip() and not l.startswith("#")]
+        # keep EMPTY lines: an image with zero keypoints writes a blank points
+        # line, and dropping it would misalign every following header/points pair
+        lines = [l.strip() for l in fh if not l.startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for head, pts in zip(lines[0::2], lines[1::2]):
         toks = head.split()
         iid = int(toks[0])

@@ -55,6 +55,8 @@ def load_colmap_depth(
     (and filters with bounds of view k). Default False = correct alignment.
     """
     cache_file = os.path.join(basedir, "colmap_depth.npy")
+    if cache and os.path.exists(cache_file):
+        return list(np.load(cache_file, allow_pickle=True))
 
     images = read_images_binary(os.path.join(basedir, "sparse", "0", "images.bin"))
     points = read_points3d_binary(os.path.join(basedir, "sparse", "0", "points3D.bin"))
@@ -83,8 +85,15 @@ def load_colmap_depth(
         pose_idx = k if quirk_misaligned_pose else k + offset
         bds_idx = k if quirk_misaligned_pose else min(k + offset, len(bds_raw) - 1)
         pose = poses[pose_idx]
+        empty = {
+            "depth": np.zeros((0,), np.float32),
+            "coord": np.zeros((0, 2), np.float32),
+            "weight": np.zeros((0,), np.float32),
+        }
         valid = im.point3D_ids != -1
         if not valid.any():
+            # keep an EMPTY record so data_list stays index-aligned with views
+            data_list.append(empty)
             continue
         pids = im.point3D_ids[valid]
         pts = np.stack([xyz[pid] for pid in pids])                      # [K, 3]
@@ -92,6 +101,7 @@ def load_colmap_depth(
         lo, hi = bds_raw[bds_idx, 0] * sc, bds_raw[bds_idx, 1] * sc
         keep = (depth >= lo) & (depth <= hi)
         if not keep.any():
+            data_list.append(empty)
             continue
         data_list.append(
             {
@@ -101,7 +111,10 @@ def load_colmap_depth(
             }
         )
     if cache:
-        np.save(cache_file, np.array(data_list, dtype=object), allow_pickle=True)
+        try:
+            np.save(cache_file, np.array(data_list, dtype=object), allow_pickle=True)
+        except OSError:
+            pass  # read-only scene mounts
     return data_list
 
 

@@ -179,7 +179,7 @@ def _load_gray_stack(files: List[str], hw: Tuple[int, int], norm_max: bool) -> n
     for f in files:
         try:
             m = _imread(f).astype(np.float64)
-            m = m / (m.max() if norm_max else 255.0)
+            m = m / (max(float(m.max()), 1e-8) if norm_max else 255.0)
             if m.ndim > 2:
                 m = m[..., 0]
             if m.shape != hw:
@@ -293,14 +293,16 @@ def load_llff_scene(
         c2w_path, up, rads, focal_spiral, zrate=0.5, rots=n_rots, N=n_views
     ).astype(np.float32)
 
-    i_test = int(np.argmin(np.sum((c2w[:3, 3] - poses[:, :3, 3]) ** 2, -1)))
-
     # SPIn-NeRF alignment: pose list may cover more views than the (inpainted)
     # image set; keep the LAST len(images) poses (reference: poses[40:] for 60
     # images of 100, `load_llff.py:427`).
     if len(poses) > N:
         poses = poses[len(poses) - N:]
         bds = bds[len(bds) - N:]
+
+    # held-out pick AFTER the slice: over the full set it could index past the
+    # returned arrays (or land 40 views off) on the SPIn-NeRF layout
+    i_test = int(np.argmin(np.sum((c2w[:3, 3] - poses[:, :3, 3]) ** 2, -1)))
 
     hwf = (H, W, float(poses[0, 2, 4]))
     return LLFFScene(

@@ -110,18 +110,25 @@ def _inception_features(images: np.ndarray):
     pretrained extractor is unavailable (zero-egress)."""
     try:
         import torch
-        from torchvision.models import Inception_V3_Weights, inception_v3
 
-        model = inception_v3(weights=Inception_V3_Weights.DEFAULT)
+        model = _inception_features._cache.get("model")
+        if model is None:
+            from torchvision.models import Inception_V3_Weights, inception_v3
+
+            model = inception_v3(weights=Inception_V3_Weights.DEFAULT)
+            model.fc = torch.nn.Identity()
+            model.eval()
+            _inception_features._cache["model"] = model
     except Exception:
         return None
-    model.fc = torch.nn.Identity()
-    model.eval()
     x = torch.from_numpy(images.transpose(0, 3, 1, 2).astype(np.float32))
     x = torch.nn.functional.interpolate(x, (299, 299), mode="bilinear")
     x = x * 2.0 - 1.0
     with torch.no_grad():
         return model(x).numpy()
+
+
+_inception_features._cache = {}
 
 
 def fid(pred: np.ndarray, gt: np.ndarray):

@@ -26,6 +26,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _PRIMES = (1, 2654435761, 805459861)
 
@@ -126,14 +127,18 @@ def init_hashgrid_nerf(key: jax.Array, cfg: HashGridConfig) -> Dict[str, Any]:
     }
 
 
-def _hash_corners(ipos: jnp.ndarray, resolution: jnp.ndarray, table_size: int):
+def _hash_corners(ipos: jnp.ndarray, resolution: jnp.ndarray, table_size: int,
+                  use_dense: jnp.ndarray):
     """ipos [N, 8, 3] int32 corner coords -> [N, 8] table indices.
 
-    Dense indexing when the level grid fits the table, spatial hashing otherwise —
-    the instant-NGP rule, matching tcnn's GridEncoding.
+    Dense indexing when the level grid fits the table, spatial hashing otherwise
+    — the instant-NGP rule, matching tcnn's GridEncoding. The dense/hash
+    decision (`use_dense`) is made STATICALLY per level in Python ints:
+    (res+1)^3 overflows int32 on device for fine levels (e.g. 204800^3 wraps to
+    exactly 0), which silently flipped the finest levels to wrapped dense
+    indexing with structured collisions.
     """
     res1 = resolution + 1
-    dense_size = res1 * res1 * res1
     dense = (ipos[..., 0] * res1 + ipos[..., 1]) * res1 + ipos[..., 2]
     h = (
         ipos[..., 0] * _PRIMES[0]
@@ -141,31 +146,46 @@ def _hash_corners(ipos: jnp.ndarray, resolution: jnp.ndarray, table_size: int):
         ^ ipos[..., 2] * jnp.uint32(_PRIMES[2]).astype(jnp.int32)
     )
     hashed = jnp.remainder(h, table_size)
-    return jnp.where(dense_size <= table_size, jnp.remainder(dense, table_size), hashed)
+    return jnp.where(use_dense, jnp.remainder(dense, table_size), hashed)
 
 
 def hashgrid_encode(
-    table: jnp.ndarray, x: jnp.ndarray, resolutions: jnp.ndarray, table_size: int
+    table: jnp.ndarray, x: jnp.ndarray, resolutions: jnp.ndarray, table_size: int,
+    use_dense: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """x [N, 3] in [0, 1] -> [N, L*F] multiresolution features (trilinear)."""
+    """x [N, 3] in [0, 1] -> [N, L*F] multiresolution features (trilinear).
+
+    `use_dense` [L] bool: per-level dense-vs-hash decision, computed by the
+    caller in Python ints (see `dense_levels`)."""
+    if use_dense is None:
+        use_dense = dense_levels(
+            [int(r) for r in np.asarray(resolutions)], table_size
+        )
 
     corner_offsets = jnp.stack(
         jnp.meshgrid(*([jnp.arange(2)] * 3), indexing="ij"), -1
     ).reshape(8, 3)  # [8, 3]
 
-    def level(tbl, res):
+    def level(tbl, res, dense_ok):
         pos = x * res  # [N, 3]
         ipos = jnp.floor(pos).astype(jnp.int32)
         frac = pos - ipos
         corners = ipos[:, None, :] + corner_offsets[None]          # [N, 8, 3]
-        idx = _hash_corners(corners, res, table_size)              # [N, 8]
+        idx = _hash_corners(corners, res, table_size, dense_ok)    # [N, 8]
         feats = jnp.take(tbl, idx, axis=0)                         # [N, 8, F]
         w = jnp.where(corner_offsets[None], frac[:, None, :], 1.0 - frac[:, None, :])
         w = jnp.prod(w, -1)                                        # [N, 8]
         return jnp.sum(feats * w[..., None].astype(feats.dtype), 1)  # [N, F]
 
-    feats = jax.vmap(level)(table, resolutions)  # [L, N, F]
+    feats = jax.vmap(level)(table, resolutions, use_dense)  # [L, N, F]
     return jnp.moveaxis(feats, 0, 1).reshape(x.shape[0], -1)
+
+
+def dense_levels(resolutions, table_size: int) -> jnp.ndarray:
+    """[L] bool: (res+1)^3 <= table_size evaluated in overflow-free Python ints."""
+    return jnp.asarray(
+        [(int(r) + 1) ** 3 <= table_size for r in resolutions], jnp.bool_
+    )
 
 
 def sh_encoding(d: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
@@ -217,7 +237,10 @@ def apply_hashgrid_nerf(
     x = pts.reshape(-1, 3)
     x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
     resolutions = jnp.asarray(cfg.resolutions, jnp.int32)
-    enc = hashgrid_encode(params["table"], x01, resolutions, cfg.table_size)
+    enc = hashgrid_encode(
+        params["table"], x01, resolutions, cfg.table_size,
+        dense_levels(cfg.resolutions, cfg.table_size),
+    )
     h = _mlp_apply(params["sigma_net"], enc.astype(jnp.float32), compute_dtype)
     sigma, geo = h[..., :1], h[..., 1:]
 

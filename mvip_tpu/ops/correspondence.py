@@ -24,11 +24,10 @@ def reproject(
     focal: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ([N, 2] pixel coords in view j, [N] depths in view j's frame)."""
-    x, y = coords_xy[..., 0], coords_xy[..., 1]
-    dirs = jnp.stack(
-        [(x - W * 0.5) / focal, -(y - H * 0.5) / focal, -jnp.ones_like(x)], -1
-    )
-    pts_w = c2w_i[:3, 3] + (dirs[..., None, :] * c2w_i[:3, :3]).sum(-1) * depth[..., None]
+    from mvip_tpu.ops.rays import ray_directions
+
+    rd = ray_directions(coords_xy, focal, H, W, c2w_i)
+    pts_w = c2w_i[:3, 3] + rd * depth[..., None]
 
     rel = pts_w - c2w_j[:3, 3]
     cam = rel @ c2w_j[:3, :3]              # world -> camera (R is orthonormal)

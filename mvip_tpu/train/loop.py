@@ -285,7 +285,11 @@ def _fused_eval_available(exp) -> bool:
     try:
         import jax as _jax
 
-        return exp.backbone == "mlp" and _jax.devices()[0].platform == "tpu"
+        return (
+            exp.backbone == "mlp"
+            and not exp.ropts.ndc  # fused path has no NDC warp
+            and _jax.devices()[0].platform == "tpu"
+        )
     except Exception:
         return False
 

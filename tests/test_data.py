@@ -155,3 +155,23 @@ def test_reference_config_file_parses():
     assert vals["N_importance"] == 64 and vals["lrate"] == 0.003
     assert vals["is_rgb_guidance"] is True and vals["is_colla_guidance"] is False
     assert vals["second_stage"] is True and vals["lindisp"] is True
+
+
+def test_images_text_roundtrip_with_zero_point_image(tmp_path):
+    """An image with NO keypoints writes a blank points line; the parser must
+    keep header/points pairing (regression: blank lines were filtered out)."""
+    import numpy as np
+
+    from mvip_tpu.data.colmap import Image, read_images_text, write_images_text
+
+    images = {
+        1: Image(1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1, "empty.png",
+                 np.zeros((0, 2)), np.zeros((0,), np.int64)),
+        2: Image(2, np.array([1.0, 0, 0, 0]), np.ones(3), 1, "full.png",
+                 np.array([[1.0, 2.0]]), np.array([7], np.int64)),
+    }
+    path = str(tmp_path / "images.txt")
+    write_images_text(images, path)
+    back = read_images_text(path)
+    assert back[1].name == "empty.png" and len(back[1].point3D_ids) == 0
+    assert back[2].name == "full.png" and back[2].point3D_ids[0] == 7

