@@ -97,9 +97,10 @@ def main(argv=None):
         # --render_test  -> held-out test poses     --render_train -> train poses
         # --render_mypath-> standalone spiral path  default        -> scene spiral
         if cfg.render_test:
-            poses, tag = exp.streams.poses[exp.i_test], "test"
+            poses, tag = exp.test_poses, "test"
         elif cfg.render_train:
-            poses, tag = exp.streams.poses[exp.i_train], "train"
+            # streams hold the TRAIN subset already (test views are excluded)
+            poses, tag = exp.streams.poses, "train"
         elif cfg.render_mypath:
             from mvip_tpu.eval.render_path import generate_render_path
 
