@@ -181,6 +181,8 @@ def _coerce(name: str, raw: str, ftype):
     # Optional[X] → X (or None)
     if origin is not None and origin.__name__ == "Union" or str(ftype).startswith("typing.Optional"):
         args = [a for a in ftype.__args__ if a is not type(None)]
+        if raw in ("None", "none"):  # reference guards `ft_path != 'None'`
+            return None
         if raw.lower() in _BOOL_FALSE and args[0] is not str:
             return None
         return _coerce(name, raw, args[0])
@@ -209,6 +211,7 @@ def parse_config_file(path: str) -> dict:
             key, val = (tok.strip() for tok in line.split("=", 1))
             if key not in fields:
                 # unknown reference flags are warned about, not fatal
+                print(f"WARNING: {path}:{lineno}: unknown config key {key!r} ignored")
                 continue
             out[key] = _coerce(key, val, hints[key])
     return out
@@ -230,7 +233,12 @@ def load_config(argv: Optional[List[str]] = None) -> Config:
 
     parser = argparse.ArgumentParser("mvip_tpu")
     for f in dataclasses.fields(Config):
-        parser.add_argument(f"--{f.name}", type=str, default=None)
+        if hints[f.name] is bool:
+            # reference-style bare flags: `--render_only` == `--render_only true`
+            parser.add_argument(f"--{f.name}", type=str, nargs="?", const="true",
+                                default=None)
+        else:
+            parser.add_argument(f"--{f.name}", type=str, default=None)
     ns = parser.parse_args(argv)
     for f in dataclasses.fields(Config):
         raw = getattr(ns, f.name)

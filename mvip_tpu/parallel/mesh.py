@@ -20,6 +20,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} device(s) "
+            "are available"
+        )
     return Mesh(np.asarray(devices[:n]).reshape(n), (axis,))
 
 
@@ -50,5 +55,5 @@ def initialize_multihost(
     )
 
 
-def pad_to_multiple(n: int, m: int) -> int:
+def round_up_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m

@@ -504,6 +504,11 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         log_fn(f"saved checkpoint at step {i}")
                     if i % cfg.i_print == 0:
                         watcher.check()  # apply control.json edits
+                        import time as _t
+
+                        while controls.paused:  # control.json {"paused": true}
+                            _t.sleep(2)
+                            watcher.check()
                     if i > start and controls.i_video > 0 and i % int(controls.i_video) == 0:
                         _render_videos(cfg, exp, state, expdir, i, controls, log_fn)
                     if i > start and cfg.i_testset > 0 and i % cfg.i_testset == 0:

@@ -37,13 +37,14 @@ class FileWatcher:
         self.controls = controls
         self.path = path
         self.poll_s = poll_s
-        self._mtime = 0.0
         self._stop = threading.Event()
-        # seed the file so users can discover the knobs
-        if not os.path.exists(path):
-            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            with open(path, "w") as fh:
-                json.dump(asdict(controls), fh, indent=1)
+        # (re)seed the file with THIS run's knobs: config wins at startup, and a
+        # stale control.json from a previous run must not silently override it;
+        # edits made after the run starts are picked up by check()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(asdict(controls), fh, indent=1)
+        self._mtime = os.path.getmtime(path)
 
     def check(self) -> bool:
         """Poll once (call from the train loop); True if controls changed."""
@@ -80,6 +81,12 @@ class FileWatcher:
 def tk_panel(controls: LiveControls) -> "threading.Thread":
     """tkinter sliders/toggles mutating `controls` live (`run.py:1943-1975`).
     Runs on a daemon thread; requires a display."""
+
+    import os as _os
+    import sys as _sys
+
+    if _sys.platform not in ("win32", "darwin") and not _os.environ.get("DISPLAY"):
+        raise RuntimeError("no display available for the tkinter panel")
 
     def run():
         import tkinter as tk

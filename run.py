@@ -68,7 +68,6 @@ def main(argv=None):
     if cfg.render_only:
         import jax
 
-        from mvip_tpu.eval.render_path import render_pose_list
         from mvip_tpu.train.checkpoint import CheckpointManager
         from mvip_tpu.train.loop import setup_experiment
         from mvip_tpu.train.state import create_train_state, make_optimizer
@@ -79,18 +78,17 @@ def main(argv=None):
         state = create_train_state(
             exp.init_params, make_optimizer(cfg.lrate, cfg.lrate_decay)
         )
-        ckpt = CheckpointManager(os.path.join(expdir, "ckpt"))
-        state = ckpt.restore(state)
+        if cfg.ft_path:
+            from mvip_tpu.train.checkpoint import restore_from_path
+
+            state = restore_from_path(cfg.ft_path, state)
+        else:
+            ckpt = CheckpointManager(os.path.join(expdir, "ckpt"))
+            state = ckpt.restore(state)
         step = int(state.step)
         print(f"rendering from checkpoint step {step}")
 
         H, W, focal = exp.hwf
-        coarse_fn = partial(exp.coarse_apply, state.params["coarse"])
-        fine_fn = (
-            partial(exp.fine_apply, state.params["fine"])
-            if exp.fine_apply is not None and state.params.get("fine") is not None
-            else None
-        )
         import dataclasses
 
         # pose-source selection (reference `run.py:552-599` render modes):
@@ -110,10 +108,12 @@ def main(argv=None):
 
         savedir = os.path.join(expdir, f"renderonly_{tag}_{step:06d}")
         ropts = dataclasses.replace(exp.ropts, perturb=0.0, raw_noise_std=0.0)
-        outs = render_pose_list(
-            poses, H, W, focal, exp.near, exp.far, coarse_fn, fine_fn,
-            ropts, render_factor=cfg.render_factor, chunk=min(cfg.chunk, 8192),
-            savedir=savedir, key=jax.random.PRNGKey(0),
+        from mvip_tpu.train.loop import _render_pose_list_dispatch
+
+        # fused Pallas path on TPU+MLP, XLA elsewhere (same dispatch as the
+        # in-training video/testset renders)
+        outs = _render_pose_list_dispatch(
+            cfg, exp, state, poses, ropts, cfg.render_factor, savedir=savedir
         )
         save_video(os.path.join(savedir, "rgb.mp4"), outs["rgb"])
         disp = outs["disp"]
