@@ -39,3 +39,24 @@ def _enable_compilation_cache():
 
 
 _enable_compilation_cache()
+
+
+def __getattr__(name):
+    """Lazy public API (imports stay light until first use)."""
+    if name == "Config":
+        from mvip_tpu.config import Config
+
+        return Config
+    if name == "load_config":
+        from mvip_tpu.config import load_config
+
+        return load_config
+    if name == "train":
+        from mvip_tpu.train.loop import train
+
+        return train
+    if name == "setup_experiment":
+        from mvip_tpu.train.loop import setup_experiment
+
+        return setup_experiment
+    raise AttributeError(f"module 'mvip_tpu' has no attribute {name!r}")
