@@ -36,18 +36,35 @@ def _load_dir(path):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--pred", required=True, help="dir of predicted images")
-    parser.add_argument("--gt", required=True, help="dir of ground-truth images")
+    parser.add_argument("--pred", help="dir of predicted images")
+    parser.add_argument("--gt", help="dir of ground-truth images")
+    parser.add_argument(
+        "--pairs", default=None,
+        help="batch mode (the reference's 16-scene loop, evaluation.py:62-124): "
+             "a text file with one 'pred_dir gt_dir' pair per line",
+    )
     parser.add_argument("--pred_depth", default=None, help="dir of predicted depth .npy")
     parser.add_argument("--gt_depth", default=None, help="dir of gt depth .npy")
     parser.add_argument("--out", default="eval.txt")
     parser.add_argument("--lpips_net", default="vgg")
     args = parser.parse_args()
 
+    if args.pairs:
+        with open(args.pairs) as fh:
+            pairs = [l.split() for l in fh if l.strip() and not l.startswith("#")]
+        for pred_dir, gt_dir in pairs:
+            _evaluate_pair(pred_dir, gt_dir, args)
+        return
+    if not (args.pred and args.gt):
+        parser.error("either --pairs or both --pred and --gt are required")
+    _evaluate_pair(args.pred, args.gt, args)
+
+
+def _evaluate_pair(pred_path, gt_path, args):
     from mvip_tpu.eval.metrics import depth_l1_l2, fid, lpips_torch, psnr, ssim
 
-    preds, names = _load_dir(args.pred)
-    gts, _ = _load_dir(args.gt)
+    preds, names = _load_dir(pred_path)
+    gts, _ = _load_dir(gt_path)
     n = min(len(preds), len(gts))
     if len(preds) != len(gts):
         print(f"WARNING: {len(preds)} pred vs {len(gts)} gt images; using first {n}")
@@ -82,7 +99,7 @@ def main():
         d_l1, d_l2 = float(np.mean(l1s)), float(np.mean(l2s))
 
     lines = [
-        f"pred={args.pred} gt={args.gt} n={n}",
+        f"pred={pred_path} gt={gt_path} n={n}",
         f"PSNR  {np.mean(psnrs):.4f}",
         f"SSIM  {np.mean(ssims):.4f}",
         f"LPIPS {np.mean(lpipss):.4f}" if lpipss else "LPIPS n/a (no weights)",
