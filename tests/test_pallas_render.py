@@ -74,3 +74,37 @@ def test_fused_hierarchical_matches_reference(key):
                                np.asarray(expect["rgb"]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(got["rgb0"]),
                                np.asarray(expect["rgb0"]), atol=3e-4)
+
+
+def test_fused_train_render_grad_parity(key):
+    """Hand-written backward kernel == jax.grad of the XLA renderer (params-only
+    gradients; rays/z are stop-grad in the train step)."""
+    from mvip_tpu.ops.pallas_render_grad import fused_train_render
+
+    cfg, params, ro, rd, z = _setup(key, n_rays=32, n_samples=16)
+    tgt = jax.random.uniform(jax.random.fold_in(key, 9), (32, 3))
+    interpret = jax.devices()[0].platform != "tpu"
+
+    for wb in (False, True):
+        def loss_fused(p):
+            o = fused_train_render(p, cfg, ro, rd, z, wb, 16, interpret)
+            return (jnp.mean((o["rgb"] - tgt) ** 2) + 0.1 * jnp.mean(o["disp"])
+                    + 0.05 * jnp.mean(o["depth"]) + 0.02 * jnp.mean(o["acc"]))
+
+        opts = RenderOptions(n_samples=16, n_importance=0, perturb=0.0,
+                             raw_noise_std=0.0, white_bkgd=wb)
+
+        def loss_ref(p):
+            o = render_rays(None, ro, rd, 2.0, 6.0,
+                            lambda pts, vd: apply_nerf_mlp(p, cfg, pts, vd),
+                            None, opts)
+            return (jnp.mean((o["rgb"] - tgt) ** 2) + 0.1 * jnp.mean(o["disp"])
+                    + 0.05 * jnp.mean(o["depth"]) + 0.02 * jnp.mean(o["acc"]))
+
+        lf, gf = jax.value_and_grad(loss_fused)(params)
+        lr, gr = jax.value_and_grad(loss_ref)(params)
+        np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+        rel = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)),
+            gf, gr)
+        assert max(jax.tree_util.tree_leaves(rel)) < 1e-3
