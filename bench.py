@@ -73,12 +73,16 @@ def bench_backbone(backbone: str) -> float:
         }
         apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg, pts, vd)
         fine_fn = apply_fn
-    elif backbone == "hashgrid":
+    elif backbone in ("hashgrid", "hashgrid_fused"):
         from mvip_tpu.models.nerf_hashgrid import (
             HashGridConfig, apply_hashgrid_nerf, init_hashgrid_nerf,
         )
 
-        hcfg = HashGridConfig()  # tcnn-parity config — the reference default model
+        if backbone == "hashgrid_fused":
+            # fused-MXU encode (ops/pallas_hashgrid.py); table 2^15
+            hcfg = HashGridConfig(log2_table_size=15, fused=True)
+        else:
+            hcfg = HashGridConfig()  # tcnn-parity config — the reference default model
         params = {
             "coarse": init_hashgrid_nerf(jax.random.PRNGKey(1), hcfg),
             "fine": init_hashgrid_nerf(jax.random.PRNGKey(2), hcfg),
@@ -174,6 +178,7 @@ def main():
     scan_rate = bench_mlp_scan()
     tri_rate = bench_backbone("triplane")
     hash_rate = bench_backbone("hashgrid")
+    hash_fused_rate = bench_backbone("hashgrid_fused")
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -188,6 +193,7 @@ def main():
         "mlp_megastep_rays_per_sec": round(scan_rate, 1),
         "triplane_rays_per_sec": round(tri_rate, 1),
         "hashgrid_rays_per_sec": round(hash_rate, 1),
+        "hashgrid_fused_rays_per_sec": round(hash_fused_rate, 1),
         "baseline_torch_cpu_rays_per_sec": baseline,
     }
     print(json.dumps(result))

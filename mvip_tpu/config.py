@@ -144,7 +144,11 @@ class Config:
 
     # --- TPU-native additions (not in reference) ---
     backbone: str = ""                       # "" = reference rule (no_tcnn ? mlp : hashgrid);
-                                             # explicit: mlp | hashgrid | triplane
+                                             # explicit: mlp | hashgrid | hashgrid_fused | triplane
+    hashgrid_log2: int = 0                   # hash-table log2 size; 0 = backbone default
+                                             # (19 tcnn-parity; 15 for hashgrid_fused — the
+                                             # fused-MXU encode needs <= 16)
+    hashgrid_fused_dtype: str = "float32"    # fused encode matmul dtype (bfloat16 = tcnn-fp16-like)
     mesh_shape: Optional[List[int]] = None   # data-parallel mesh; None = all devices
     param_dtype: str = "float32"
     compute_dtype: str = "float32"           # bfloat16 for max MXU throughput

@@ -46,6 +46,15 @@ class HashGridConfig:
     color_layers: int = 3
     sh_degree: int = 4
     table_dtype: Any = jnp.float32
+    # Fused-MXU encode (ops/pallas_hashgrid.py): gathers as one-hot matmuls +
+    # in-vreg lane selects, backward scatter as transposed matmuls — ~20x the
+    # XLA gather/scatter encode on TPU. Requires log2_table_size <= 16 (the
+    # one-hot slab cost is linear in table size). On CPU the XLA path runs
+    # instead (identical semantics).
+    fused: bool = False
+    fused_block: int = 512
+    fused_dtype: str = "float32"   # one-hot matmul operand dtype; bfloat16
+                                   # rounds table reads like tcnn's fp16
 
     @property
     def table_size(self) -> int:
@@ -181,6 +190,17 @@ def hashgrid_encode(
     return jnp.moveaxis(feats, 0, 1).reshape(x.shape[0], -1)
 
 
+def _fused_available(cfg: "HashGridConfig") -> bool:
+    """Fused-MXU encode runs on TPU for tables up to 2^MAX_FUSED_LOG2."""
+    from mvip_tpu.ops.pallas_hashgrid import MAX_FUSED_LOG2
+
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and cfg.log2_table_size <= MAX_FUSED_LOG2 and 128 % cfg.n_features == 0
+
+
 def dense_levels(resolutions, table_size: int) -> jnp.ndarray:
     """[L] bool: (res+1)^3 <= table_size evaluated in overflow-free Python ints."""
     return jnp.asarray(
@@ -237,10 +257,19 @@ def apply_hashgrid_nerf(
     x = pts.reshape(-1, 3)
     x01 = jnp.clip((x + cfg.bound) / (2.0 * cfg.bound), 0.0, 1.0)
     resolutions = jnp.asarray(cfg.resolutions, jnp.int32)
-    enc = hashgrid_encode(
-        params["table"], x01, resolutions, cfg.table_size,
-        dense_levels(cfg.resolutions, cfg.table_size),
-    )
+    use_dense = dense_levels(cfg.resolutions, cfg.table_size)
+    if cfg.fused and _fused_available(cfg):
+        from mvip_tpu.ops.pallas_hashgrid import hashgrid_encode_fused
+
+        enc = hashgrid_encode_fused(
+            params["table"].astype(jnp.float32), x01, resolutions,
+            use_dense.astype(jnp.int32), cfg.table_size,
+            block=cfg.fused_block, compute_dtype=cfg.fused_dtype,
+        )
+    else:
+        enc = hashgrid_encode(
+            params["table"], x01, resolutions, cfg.table_size, use_dense,
+        )
     h = _mlp_apply(params["sigma_net"], enc.astype(jnp.float32), compute_dtype)
     sigma, geo = h[..., :1], h[..., 1:]
 

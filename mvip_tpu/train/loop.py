@@ -220,7 +220,16 @@ def build_models(cfg: Config, key: jax.Array):
             )
         return coarse_apply, fine_apply, params, "mlp", mcfg
 
-    hcfg = HashGridConfig()
+    if backbone not in ("hashgrid", "hashgrid_fused"):
+        raise ValueError(
+            f"unknown backbone {backbone!r}: mlp | hashgrid | hashgrid_fused | triplane"
+        )
+    fused = backbone == "hashgrid_fused"
+    hcfg = HashGridConfig(
+        log2_table_size=cfg.hashgrid_log2 or (15 if fused else 19),
+        fused=fused,
+        fused_dtype=cfg.hashgrid_fused_dtype,
+    )
     params = {"coarse": init_hashgrid_nerf(k1, hcfg)}
     coarse_apply = partial(
         lambda c, p, pts, vd: apply_hashgrid_nerf(p, c, pts, vd, compute_dtype), hcfg
@@ -229,7 +238,7 @@ def build_models(cfg: Config, key: jax.Array):
     if cfg.N_importance > 0:
         params["fine"] = init_hashgrid_nerf(k2, hcfg)
         fine_apply = coarse_apply
-    return coarse_apply, fine_apply, params, "hashgrid", hcfg
+    return coarse_apply, fine_apply, params, backbone, hcfg
 
 
 def setup_experiment(cfg: Config) -> Experiment:
