@@ -1,0 +1,228 @@
+"""Single-chip fused training step: two Pallas megakernels per iteration.
+
+The guidance-off training iteration (`train/step.py:base_losses`, mirroring
+`run.py:996-1027`) renders up to three ray batches — unmasked-pixel RGB,
+inpainted-depth disparity, COLMAP sparse depth — each through a coarse+fine
+hierarchical render, then backprops three MSE terms. The XLA step materializes
+every [R*S, 256] MLP activation in HBM for autodiff; the custom-VJP megakernel
+(`ops/pallas_render_grad.py`) avoided that but ran each forward twice.
+
+This step removes both costs: the batches CONCATENATE into one ray batch with
+per-ray loss scales, and each model runs ONE `ops/pallas_train.py` kernel that
+renders, forms the loss cotangents in-kernel, and backprops to parameter
+gradients — coarse kernel -> fused inverse-CDF sampler -> fine kernel -> Adam.
+jax.grad never runs: gradients come out of the kernels directly.
+
+Scope: PE-MLP backbone, guidance off, sigma_loss off, single device (the
+Pallas grid does not auto-partition under a mesh — multi-chip training uses
+the XLA step). Loss values and gradients match `base_losses` + jax.grad for
+identical batch/z/noise draws (tested); the RNG *stream* differs (keys are
+split per-purpose here), so individual runs are not bit-identical to the XLA
+step — both are faithful samplers of the same training distribution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
+from mvip_tpu.ops.pallas_train import fused_train_render_grads
+from mvip_tpu.ops.sampling import merge_z_vals, stratified_z_vals
+from mvip_tpu.render.renderer import RenderOptions
+from mvip_tpu.train.losses import mse2psnr
+from mvip_tpu.train.state import TrainState
+from mvip_tpu.train.step import (
+    DeviceStreams,
+    StepConfig,
+    sample_clf_batch,
+    sample_depth_batch,
+    sample_inp_batch,
+)
+
+
+def fused_step_supported(scfg: StepConfig, ropts: RenderOptions,
+                         backbone: str, mcfg=None) -> bool:
+    """The fused kernels cover the canonical guidance-off configs; anything
+    else falls back to the XLA step."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+        n_dev = len(jax.devices())
+    except Exception:
+        return False
+    pe_ok = mcfg is None or (
+        getattr(mcfg, "multires", 0) > 0 and getattr(mcfg, "multires_views", 0) > 0
+    )  # the kernel's in-VMEM positional encoding assumes PE inputs (i_embed=0)
+    return (
+        backbone == "mlp"
+        and pe_ok
+        and on_tpu
+        and n_dev == 1
+        and not scfg.sigma_loss
+        and not ropts.ndc
+        and ropts.use_viewdirs
+        and ropts.n_importance > 0
+    )
+
+
+def make_fused_train_step(
+    scfg: StepConfig,
+    ropts: RenderOptions,
+    mcfg: NeRFMLPConfig,
+    optimizer,
+    block_rays: int = 16,
+    interpret: bool = False,
+):
+    """Build the fused (state, streams, key) -> (state, metrics) step."""
+    n1 = scfg.n_rand
+    n2 = scfg.n_rand if scfg.depth_loss else 0
+    n3 = scfg.n_rand if scfg.colmap_depth else 0
+    R = n1 + n2 + n3
+    S = ropts.n_samples
+
+    def _scales(w_d):
+        zeros1 = jnp.zeros((n1,), jnp.float32)
+        # fine-model scales: img MSE on batch 1, depth_lambda * disp MSE on
+        # batch 2, depth_lambda * (optionally reprojection-weighted) depth MSE
+        # on batch 3 (`run.py:996-1027` weights)
+        s_rgb = jnp.concatenate(
+            [jnp.full((n1,), 1.0 / (n1 * 3)), jnp.zeros((n2 + n3,))]
+        )
+        s_disp = jnp.concatenate(
+            [zeros1, jnp.full((n2,), scfg.depth_lambda / max(n2, 1)),
+             jnp.zeros((n3,))]
+        )
+        if n3:
+            wd = w_d if scfg.weighted_loss else jnp.ones((n3,))
+            s_depth = jnp.concatenate(
+                [zeros1, jnp.zeros((n2,)), scfg.depth_lambda * wd / n3]
+            )
+        else:
+            s_depth = jnp.zeros((R,))
+        return s_rgb, s_disp, s_depth
+
+    def step_grads(params, streams: DeviceStreams, key):
+        k_clf, k_inp, k_dep, k_z0, k_n0, k_pdf, k_n1 = jax.random.split(key, 7)
+
+        ro, rd, t_rgb1 = sample_clf_batch(
+            k_clf, streams, n1, scfg.H, scfg.W, scfg.focal
+        )
+        parts_o, parts_d = [ro], [rd]
+        t_disp = jnp.zeros((n1,))
+        t_depth = jnp.zeros((R,))
+        w_d = None
+        if n2:
+            ro2, rd2, t_inp = sample_inp_batch(
+                k_inp, streams, n2, scfg.H, scfg.W, scfg.focal
+            )
+            parts_o.append(ro2)
+            parts_d.append(rd2)
+            t_disp = jnp.concatenate([t_disp, t_inp])
+        if n3:
+            ro3, rd3, t_d, w_d = sample_depth_batch(k_dep, streams, n3)
+            parts_o.append(ro3)
+            parts_d.append(rd3)
+            t_disp = jnp.concatenate([t_disp, jnp.zeros((n3,))])
+            t_depth = t_depth.at[n1 + n2:].set(t_d)
+        ro = jnp.concatenate(parts_o)
+        rd = jnp.concatenate(parts_d)
+        t_rgb = jnp.concatenate([t_rgb1, jnp.zeros((n2 + n3, 3))])
+
+        s_rgb, s_disp, s_depth = _scales(w_d)
+        # coarse model: only the img0 term (`run.py:1018`), still rendering
+        # ALL rays — batches 2/3 need its weights for importance sampling
+        s_rgb0 = jnp.where(
+            jnp.arange(R) < n1, 0.0 if scfg.no_coarse else 1.0 / (n1 * 3), 0.0
+        )
+        zeros_s = jnp.zeros((R,))
+
+        z = stratified_z_vals(k_z0, R, S, scfg.near, scfg.far,
+                              lindisp=ropts.lindisp, perturb=ropts.perturb)
+        noise0 = (
+            jax.random.normal(k_n0, (R, S)) * ropts.raw_noise_std
+            if ropts.raw_noise_std > 0 else jnp.zeros((R, S))
+        )
+        m0, g_coarse = fused_train_render_grads(
+            params["coarse"], mcfg, ro, rd, z, noise0,
+            t_rgb, t_disp, t_depth, s_rgb0, zeros_s, zeros_s,
+            white_bkgd=ropts.white_bkgd, block_rays=block_rays,
+            interpret=interpret,
+        )
+
+        z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+        if interpret:
+            from mvip_tpu.ops.sampling import sample_pdf
+
+            z_fine = sample_pdf(z_mid, m0["weights"][:, 1:-1],
+                                ropts.n_importance, key=k_pdf,
+                                det=(ropts.perturb == 0.0))
+        else:
+            from mvip_tpu.ops.pallas_sampling import sample_pdf_pallas
+
+            z_fine = sample_pdf_pallas(z_mid, m0["weights"][:, 1:-1],
+                                       ropts.n_importance, key=k_pdf,
+                                       det=(ropts.perturb == 0.0))
+        z_all = merge_z_vals(z, z_fine)
+        S_all = S + ropts.n_importance
+        noise1 = (
+            jax.random.normal(k_n1, (R, S_all)) * ropts.raw_noise_std
+            if ropts.raw_noise_std > 0 else jnp.zeros((R, S_all))
+        )
+        m1, g_fine = fused_train_render_grads(
+            params["fine"], mcfg, ro, rd, z_all, noise1,
+            t_rgb, t_disp, t_depth, s_rgb, s_disp, s_depth,
+            white_bkgd=ropts.white_bkgd, block_rays=block_rays,
+            interpret=interpret,
+        )
+
+        img_loss = m1["sq_rgb"]                       # already mean (s=1/(n1*3))
+        depth_loss = (
+            m1["sq_disp"] / scfg.depth_lambda
+            if (n2 and scfg.depth_lambda > 0) else jnp.zeros(())
+        )
+        loss = m1["sq_rgb"] + m1["sq_disp"] + m1["sq_depth"] + m0["sq_rgb"]
+        metrics = {
+            "loss": loss,
+            "img_loss": img_loss,
+            "depth_loss": depth_loss,
+            "psnr": mse2psnr(img_loss),
+        }
+        return {"coarse": g_coarse, "fine": g_fine}, metrics
+
+    def train_step(state: TrainState, streams: DeviceStreams, key):
+        grads, metrics = step_grads(state.params, streams, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_fused_train_scan(
+    scfg: StepConfig,
+    ropts: RenderOptions,
+    mcfg: NeRFMLPConfig,
+    optimizer,
+    n_inner: int = 10,
+    block_rays: int = 16,
+    interpret: bool = False,
+):
+    """Megastep variant: lax.scan of n_inner fused steps per dispatch."""
+    step = make_fused_train_step(scfg, ropts, mcfg, optimizer,
+                                 block_rays=block_rays, interpret=interpret)
+
+    def one_step(carry, key):
+        state, streams = carry
+        state, metrics = step(state, streams, key)
+        return (state, streams), metrics
+
+    def train_scan(state: TrainState, streams: DeviceStreams, key):
+        keys = jax.random.split(key, n_inner)
+        (state, _), metrics = jax.lax.scan(one_step, (state, streams), keys)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return jax.jit(train_scan, donate_argnums=(0,))

@@ -452,9 +452,25 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
             )
             phase("guidance models resident (SDS on)")
         else:
-            train_step = make_train_step(
-                exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply, optimizer
+            from mvip_tpu.train.fused_step import (
+                fused_step_supported,
+                make_fused_train_step,
             )
+
+            if cfg.use_pallas and fused_step_supported(
+                exp.scfg, exp.ropts, exp.backbone, exp.model_cfg
+            ):
+                # single-chip MLP fast path: render + loss + backward fused
+                # into two Pallas kernels per step (ops/pallas_train.py)
+                train_step = make_fused_train_step(
+                    exp.scfg, exp.ropts, exp.model_cfg, optimizer
+                )
+                phase("fused Pallas train step selected")
+            else:
+                train_step = make_train_step(
+                    exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply,
+                    optimizer,
+                )
 
         n_iters = (max_steps or cfg.N_iters) + 1
         timer = StepTimer(cfg.N_rand)

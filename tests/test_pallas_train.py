@@ -1,0 +1,133 @@
+"""Fused training kernel (ops/pallas_train.py) vs jax.grad of the XLA path.
+
+Same oracle pattern as the render-megakernel tests: the kernel (interpret
+mode on this CPU suite) must reproduce the XLA loss value AND its parameter
+gradients for identical rays / z / noise / targets / scales.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
+from mvip_tpu.ops.compositing import composite
+from mvip_tpu.ops.pallas_train import fused_train_render_grads
+
+CFG = NeRFMLPConfig(depth=3, width=32, multires=4, multires_views=2)
+
+
+def _setup(R=24, S=10, seed=0, noise_std=1.0):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 10)
+    params = init_nerf_mlp(ks[0], CFG)
+    ro = jnp.zeros((R, 3)).at[:, 2].set(4.0)
+    rd = jax.random.normal(ks[1], (R, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(ks[2], (R, S), minval=2.0, maxval=6.0), -1)
+    noise = jax.random.normal(ks[3], (R, S)) * noise_std
+    t_rgb = jax.random.uniform(ks[4], (R, 3))
+    t_disp = jax.random.uniform(ks[5], (R,), minval=0.1, maxval=0.5)
+    t_depth = jax.random.uniform(ks[6], (R,), minval=2.0, maxval=6.0)
+    # three-way split of the batch across the loss terms, like the fused step
+    s_rgb = jnp.where(jnp.arange(R) < 8, 1.0 / 24.0, 0.0)
+    s_disp = jnp.where((jnp.arange(R) >= 8) & (jnp.arange(R) < 16), 0.0125, 0.0)
+    s_depth = jnp.where(jnp.arange(R) >= 16, 0.0125, 0.0)
+    return params, ro, rd, z, noise, t_rgb, t_disp, t_depth, s_rgb, s_disp, s_depth
+
+
+def _xla_loss(params, ro, rd, z, noise, t_rgb, t_disp, t_depth,
+              s_rgb, s_disp, s_depth, white_bkgd):
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    raw = apply_nerf_mlp(params, CFG, pts, vd)
+    out = composite(raw, z, rd, noise=noise, white_bkgd=white_bkgd)
+    return (
+        jnp.sum(s_rgb * jnp.sum((out.rgb - t_rgb) ** 2, -1))
+        + jnp.sum(s_disp * (out.disp - t_disp) ** 2)
+        + jnp.sum(s_depth * (out.depth - t_depth) ** 2)
+    )
+
+
+def test_fused_train_kernel_matches_jax_grad():
+    for white_bkgd in (False, True):
+        args = _setup()
+        params = args[0]
+        metrics, grads = fused_train_render_grads(
+            params, CFG, *args[1:], white_bkgd=white_bkgd, block_rays=8,
+            interpret=True,
+        )
+        loss_p = metrics["sq_rgb"] + metrics["sq_disp"] + metrics["sq_depth"]
+        loss_x, grads_x = jax.value_and_grad(_xla_loss)(
+            params, *args[1:], white_bkgd
+        )
+        np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+        flat_p = jax.tree.leaves(grads)
+        flat_x = jax.tree.leaves(grads_x)
+        scale = max(float(jnp.abs(x).max()) for x in flat_x)
+        for gp, gx in zip(flat_p, flat_x):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), atol=2e-5 * max(scale, 1.0),
+                rtol=1e-4,
+            )
+
+
+def test_fused_train_kernel_weights_match_composite():
+    args = _setup(noise_std=0.0)
+    params, ro, rd, z, noise = args[:5]
+    metrics, _ = fused_train_render_grads(
+        params, CFG, *args[1:], block_rays=8, interpret=True
+    )
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    raw = apply_nerf_mlp(params, CFG, pts, vd)
+    out = composite(raw, z, rd, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(metrics["weights"]), np.asarray(out.weights), atol=1e-5
+    )
+
+
+def test_fused_step_trains():
+    """End-to-end fused step (interpret mode): loss decreases on a tiny scene."""
+    from mvip_tpu.data.rays import build_ray_streams
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.fused_step import make_fused_train_step
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import DeviceStreams, StepConfig
+    from mvip_tpu.models.nerf_mlp import init_nerf_mlp
+
+    rng = np.random.default_rng(0)
+    n_views, H, W = 3, 16, 16
+    images = rng.uniform(0, 1, (n_views, H, W, 3)).astype(np.float32)
+    masks = np.zeros((n_views, H, W), np.float32)
+    masks[:, 5:10, 5:10] = 1.0
+    depths = rng.uniform(0.2, 0.6, (n_views, H, W)).astype(np.float32)
+    poses = np.zeros((n_views, 3, 4), np.float32)
+    for v in range(n_views):
+        th = v * 0.4
+        c, s = np.cos(th), np.sin(th)
+        poses[v, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[v, :3, 3] = [s * 4, 0, c * 4]
+    streams = build_ray_streams(images, masks, depths, poses, 20.0)
+    ds = DeviceStreams.from_host(streams)
+
+    mcfg = CFG
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg),
+        "fine": init_nerf_mlp(jax.random.PRNGKey(2), mcfg),
+    }
+    scfg = StepConfig(n_rand=32, depth_loss=True, depth_lambda=0.1,
+                      near=1.0, far=7.0, H=H, W=W, focal=20.0)
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
+                          raw_noise_std=1.0, white_bkgd=True)
+    optimizer = make_optimizer(3e-3, 10)
+    state = create_train_state(params, optimizer)
+    step = make_fused_train_step(scfg, ropts, mcfg, optimizer, block_rays=16,
+                                 interpret=True)
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(12):
+        state, metrics = step(state, ds, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
