@@ -61,7 +61,7 @@ def fused_step_supported(scfg: StepConfig, ropts: RenderOptions,
         backbone == "mlp"
         and pe_ok
         and on_tpu
-        and n_dev == 1
+        and scfg.n_rand % n_dev == 0
         and not scfg.sigma_loss
         and not ropts.ndc
         and ropts.use_viewdirs
@@ -76,11 +76,26 @@ def make_fused_train_step(
     optimizer,
     block_rays: int = 16,
     interpret: bool = False,
+    mesh=None,
+    n_devices: int = 1,
 ):
-    """Build the fused (state, streams, key) -> (state, metrics) step."""
-    n1 = scfg.n_rand
-    n2 = scfg.n_rand if scfg.depth_loss else 0
-    n3 = scfg.n_rand if scfg.colmap_depth else 0
+    """Build the fused (state, streams, key) -> (state, metrics) step.
+
+    With `mesh` (a 1-D data mesh) and n_devices > 1, the kernels run
+    per-device under `shard_map`: each device draws a distinct 1/n_devices
+    slice of the global ray batch (the key is folded with the device index),
+    loss scales carry the GLOBAL normalization, and gradients + loss sums
+    all-reduce with `psum` over ICI — the Pallas equivalent of the XLA
+    step's sharding-constraint data parallelism."""
+    n_dev = max(n_devices, 1)
+    if scfg.n_rand % n_dev:
+        raise ValueError(f"n_rand={scfg.n_rand} not divisible by {n_dev} devices")
+    n1g = scfg.n_rand
+    n2g = scfg.n_rand if scfg.depth_loss else 0
+    n3g = scfg.n_rand if scfg.colmap_depth else 0
+    n1 = n1g // n_dev
+    n2 = n2g // n_dev
+    n3 = n3g // n_dev
     R = n1 + n2 + n3
     S = ropts.n_samples
 
@@ -88,18 +103,19 @@ def make_fused_train_step(
         zeros1 = jnp.zeros((n1,), jnp.float32)
         # fine-model scales: img MSE on batch 1, depth_lambda * disp MSE on
         # batch 2, depth_lambda * (optionally reprojection-weighted) depth MSE
-        # on batch 3 (`run.py:996-1027` weights)
+        # on batch 3 (`run.py:996-1027` weights). Normalization is GLOBAL
+        # (n*g) so per-device loss sums psum to the global means.
         s_rgb = jnp.concatenate(
-            [jnp.full((n1,), 1.0 / (n1 * 3)), jnp.zeros((n2 + n3,))]
+            [jnp.full((n1,), 1.0 / (n1g * 3)), jnp.zeros((n2 + n3,))]
         )
         s_disp = jnp.concatenate(
-            [zeros1, jnp.full((n2,), scfg.depth_lambda / max(n2, 1)),
+            [zeros1, jnp.full((n2,), scfg.depth_lambda / max(n2g, 1)),
              jnp.zeros((n3,))]
         )
         if n3:
             wd = w_d if scfg.weighted_loss else jnp.ones((n3,))
             s_depth = jnp.concatenate(
-                [zeros1, jnp.zeros((n2,)), scfg.depth_lambda * wd / n3]
+                [zeros1, jnp.zeros((n2,)), scfg.depth_lambda * wd / n3g]
             )
         else:
             s_depth = jnp.zeros((R,))
@@ -136,7 +152,7 @@ def make_fused_train_step(
         # coarse model: only the img0 term (`run.py:1018`), still rendering
         # ALL rays — batches 2/3 need its weights for importance sampling
         s_rgb0 = jnp.where(
-            jnp.arange(R) < n1, 0.0 if scfg.no_coarse else 1.0 / (n1 * 3), 0.0
+            jnp.arange(R) < n1, 0.0 if scfg.no_coarse else 1.0 / (n1g * 3), 0.0
         )
         zeros_s = jnp.zeros((R,))
 
@@ -193,8 +209,35 @@ def make_fused_train_step(
         }
         return {"coarse": g_coarse, "fine": g_fine}, metrics
 
+    if mesh is not None and n_dev > 1:
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        axis = mesh.axis_names[0]
+
+        def sharded_grads(params, streams, key):
+            # distinct ray draws per device; grads/losses psum over ICI
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            grads, metrics = step_grads(params, streams, key)
+            grads = jax.lax.psum(grads, axis)
+            metrics = jax.lax.psum(metrics, axis)
+            metrics["psnr"] = mse2psnr(metrics["img_loss"])  # not summable
+            return grads, metrics
+
+        grads_fn = shard_map(
+            sharded_grads, mesh=mesh,
+            in_specs=(P(), P(), P()), out_specs=(P(), P()),
+            check_rep=False,
+        )
+    else:
+        grads_fn = step_grads
+
     def train_step(state: TrainState, streams: DeviceStreams, key):
-        grads, metrics = step_grads(state.params, streams, key)
+        grads, metrics = grads_fn(state.params, streams, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics

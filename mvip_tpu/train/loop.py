@@ -460,10 +460,12 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
             if cfg.use_pallas and fused_step_supported(
                 exp.scfg, exp.ropts, exp.backbone, exp.model_cfg
             ):
-                # single-chip MLP fast path: render + loss + backward fused
-                # into two Pallas kernels per step (ops/pallas_train.py)
+                # MLP fast path: render + loss + backward fused into two
+                # Pallas kernels per step (ops/pallas_train.py); per-device
+                # under shard_map with psum'd grads when the mesh has >1 chip
                 train_step = make_fused_train_step(
-                    exp.scfg, exp.ropts, exp.model_cfg, optimizer
+                    exp.scfg, exp.ropts, exp.model_cfg, optimizer,
+                    mesh=mesh, n_devices=mesh.size,
                 )
                 phase("fused Pallas train step selected")
             else:
