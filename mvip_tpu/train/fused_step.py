@@ -214,8 +214,10 @@ def make_fused_train_step(
 
         try:
             from jax import shard_map
+            sm_kwargs = {"check_vma": False}
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
+            sm_kwargs = {"check_rep": False}
 
         axis = mesh.axis_names[0]
 
@@ -231,7 +233,7 @@ def make_fused_train_step(
         grads_fn = shard_map(
             sharded_grads, mesh=mesh,
             in_specs=(P(), P(), P()), out_specs=(P(), P()),
-            check_rep=False,
+            **sm_kwargs,
         )
     else:
         grads_fn = step_grads
