@@ -153,6 +153,10 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"           # bfloat16 for max MXU throughput
     use_pallas: bool = True                  # Pallas kernels on TPU hot paths
+    megastep: int = 1                        # guidance-off: lax.scan this many train
+                                             # steps per dispatch (amortizes tunnel/host
+                                             # dispatch latency; print/ckpt cadences
+                                             # round up to multiples of it)
     max_masked_pixels: int = 0               # 0 = auto (max over train views, padded)
     gui: bool = False                        # reference spawns tkinter unconditionally
     profile_dir: Optional[str] = None        # jax.profiler trace output

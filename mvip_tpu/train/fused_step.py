@@ -255,10 +255,13 @@ def make_fused_train_scan(
     n_inner: int = 10,
     block_rays: int = 16,
     interpret: bool = False,
+    mesh=None,
+    n_devices: int = 1,
 ):
     """Megastep variant: lax.scan of n_inner fused steps per dispatch."""
     step = make_fused_train_step(scfg, ropts, mcfg, optimizer,
-                                 block_rays=block_rays, interpret=interpret)
+                                 block_rays=block_rays, interpret=interpret,
+                                 mesh=mesh, n_devices=n_devices)
 
     def one_step(carry, key):
         state, streams = carry

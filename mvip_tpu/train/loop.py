@@ -454,28 +454,46 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         else:
             from mvip_tpu.train.fused_step import (
                 fused_step_supported,
+                make_fused_train_scan,
                 make_fused_train_step,
             )
 
+            n_inner = max(int(cfg.megastep), 1)
             if cfg.use_pallas and fused_step_supported(
                 exp.scfg, exp.ropts, exp.backbone, exp.model_cfg
             ):
                 # MLP fast path: render + loss + backward fused into two
                 # Pallas kernels per step (ops/pallas_train.py); per-device
                 # under shard_map with psum'd grads when the mesh has >1 chip
-                train_step = make_fused_train_step(
-                    exp.scfg, exp.ropts, exp.model_cfg, optimizer,
-                    mesh=mesh, n_devices=mesh.size,
+                if n_inner > 1:
+                    train_step = make_fused_train_scan(
+                        exp.scfg, exp.ropts, exp.model_cfg, optimizer,
+                        n_inner=n_inner, mesh=mesh, n_devices=mesh.size,
+                    )
+                    phase(f"fused Pallas megastep selected ({n_inner}/dispatch)")
+                else:
+                    train_step = make_fused_train_step(
+                        exp.scfg, exp.ropts, exp.model_cfg, optimizer,
+                        mesh=mesh, n_devices=mesh.size,
+                    )
+                    phase("fused Pallas train step selected")
+            elif n_inner > 1:
+                from mvip_tpu.train.step import make_train_scan
+
+                train_step = make_train_scan(
+                    exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply,
+                    optimizer, n_inner=n_inner,
                 )
-                phase("fused Pallas train step selected")
+                phase(f"megastep selected ({n_inner} steps/dispatch)")
             else:
                 train_step = make_train_step(
                     exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply,
                     optimizer,
                 )
+        step_stride = 1 if use_guidance else max(int(cfg.megastep), 1)
 
         n_iters = (max_steps or cfg.N_iters) + 1
-        timer = StepTimer(cfg.N_rand)
+        timer = StepTimer(cfg.N_rand * step_stride)
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
         metrics = None
@@ -485,7 +503,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         # auto-resumes from it instead of restarting. Handles close either way.
         try:
             with maybe_trace(cfg.profile_dir):
-                for i in range(start, n_iters):
+                for i in range(start, n_iters, step_stride):
                     key = jax.random.fold_in(base_key, i)
                     if use_guidance:
                         state, metrics = train_step(
@@ -493,7 +511,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         )
                     else:
                         state, metrics = train_step(state, streams_dev, key)
-                    if i % cfg.i_print == 0:
+                    if i % cfg.i_print < step_stride:
                         # ONE stacked fetch: per-leaf device_get costs seconds of
                         # relay latency on tunneled TPUs (measured 4.2s for the dict
                         # vs 0.37s for a single scalar)
@@ -526,19 +544,19 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         metrics_log.flush()
                     else:
                         timer.tick()
-                    if i > start and i % cfg.i_weights == 0:
+                    if i > start and i % cfg.i_weights < step_stride:
                         ckpt.save(jax.device_get(state))
                         log_fn(f"saved checkpoint at step {i}")
-                    if i % cfg.i_print == 0:
+                    if i % cfg.i_print < step_stride:
                         watcher.check()  # apply control.json edits
                         import time as _t
 
                         while controls.paused:  # control.json {"paused": true}
                             _t.sleep(2)
                             watcher.check()
-                    if i > start and controls.i_video > 0 and i % int(controls.i_video) == 0:
+                    if i > start and controls.i_video > 0 and i % int(controls.i_video) < step_stride:
                         _render_videos(cfg, exp, state, expdir, i, controls, log_fn)
-                    if i > start and cfg.i_testset > 0 and i % cfg.i_testset == 0:
+                    if i > start and cfg.i_testset > 0 and i % cfg.i_testset < step_stride:
                         _render_testset(cfg, exp, state, expdir, i, log_fn)
         except (KeyboardInterrupt, Exception):
             try:

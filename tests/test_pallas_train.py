@@ -149,6 +149,35 @@ def _tiny_scene():
     return streams, ds, params
 
 
+def test_fused_scan_trains():
+    """Megastep: lax.scan of fused steps per dispatch (interpret mode)."""
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.fused_step import make_fused_train_scan
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import StepConfig
+
+    streams, ds, params = _tiny_scene()
+    scfg = StepConfig(n_rand=32, depth_loss=True, depth_lambda=0.1,
+                      near=1.0, far=7.0, H=16, W=16, focal=20.0)
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
+                          raw_noise_std=1.0, white_bkgd=True)
+    optimizer = make_optimizer(3e-3, 10)
+    state = create_train_state(params, optimizer)
+    scan = make_fused_train_scan(scfg, ropts, CFG, optimizer, n_inner=4,
+                                 block_rays=16, interpret=True)
+    w0 = np.asarray(params["fine"]["rgb"]["w"]).copy()
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(4):
+        state, metrics = scan(state, ds, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 16            # n_inner steps per dispatch
+    assert np.isfinite(losses).all()
+    # every inner step applied an update (the toy scene is too noisy for a
+    # strict descent check at this step count — the single-step test covers it)
+    assert np.abs(np.asarray(state.params["fine"]["rgb"]["w"]) - w0).max() > 1e-4
+
+
 def test_fused_step_trains():
     """End-to-end fused step (interpret mode): loss decreases on a tiny scene."""
     from mvip_tpu.data.rays import build_ray_streams
