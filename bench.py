@@ -216,8 +216,12 @@ def bench_mlp_scan(n_inner: int = 10) -> float:
 
 
 def main():
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
     mlp_rate = bench_backbone("mlp")
-    fused_rate = bench_mlp_fused()
+    # the fused-Pallas step compiles TPU-only (no interpret fallback here)
+    fused_rate = bench_mlp_fused() if on_tpu else 0.0
     scan_rate = bench_mlp_scan()
     tri_rate = bench_backbone("triplane")
     hash_rate = bench_backbone("hashgrid")

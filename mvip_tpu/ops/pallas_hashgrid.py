@@ -172,17 +172,26 @@ def _bwd_table_kernel(res_ref, dense_ref, x_ref, g_ref, out_ref, *, T, F, BT,
     out_ref[0] = out_ref[0] + acc
 
 
+def _pad_rows(a, block):
+    """Zero-pad a [N, C] array to a multiple of `block` rows.
+
+    THE padding rule for every kernel in this module (forward and backwards
+    must agree on the point-block layout). Returns (padded, NB, pad)."""
+    N = a.shape[0]
+    NB = -(-N // block)
+    pad = NB * block - N
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+    return a, NB, pad
+
+
 def _prep(table, x, block):
     L, T, F = table.shape
     if 128 % F:
         raise ValueError(f"n_features={F} must divide 128 for the fused path")
     RE = 128 // F
     tbl_blocks = table.reshape(L, T // RE, 128)
-    N = x.shape[0]
-    NB = -(-N // block)
-    pad = NB * block - N
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)])
+    x, NB, pad = _pad_rows(x, block)
     return tbl_blocks, x, L, T, F, RE, NB, pad
 
 
@@ -223,12 +232,8 @@ def _encode_bwd_table(x, g, res_arr, dense_arr, *, L, F, table_size, block,
     T = table_size
     RE = 128 // F
     BT = T // RE
-    N = x.shape[0]
-    NB = -(-N // block)
-    pad = NB * block - N
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)])
-        g = jnp.concatenate([g, jnp.zeros((pad, L * F), g.dtype)])
+    x, NB, _ = _pad_rows(x, block)
+    g, _, _ = _pad_rows(g, block)  # zero cotangents on padded rows: no grads
     gL = jnp.moveaxis(g.reshape(NB * block, L, F), 1, 0)
     smem, x_spec, tbl_spec, g_spec = _specs(block, BT, L)
     out = pl.pallas_call(

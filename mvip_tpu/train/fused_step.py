@@ -46,12 +46,14 @@ from mvip_tpu.train.step import (
 
 
 def fused_step_supported(scfg: StepConfig, ropts: RenderOptions,
-                         backbone: str, mcfg=None) -> bool:
+                         backbone: str, mcfg=None,
+                         n_devices: int = 0) -> bool:
     """The fused kernels cover the canonical guidance-off configs; anything
-    else falls back to the XLA step."""
+    else falls back to the XLA step. `n_devices` must be the mesh size the
+    step will actually be built with (0 = all visible devices)."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
-        n_dev = len(jax.devices())
+        n_dev = n_devices or len(jax.devices())
     except Exception:
         return False
     pe_ok = mcfg is None or (
@@ -65,6 +67,7 @@ def fused_step_supported(scfg: StepConfig, ropts: RenderOptions,
         and not scfg.sigma_loss
         and not ropts.ndc
         and ropts.use_viewdirs
+        and not ropts.detach_weights  # kernel backprops rgb through weights
         and ropts.n_importance > 0
     )
 
@@ -96,10 +99,9 @@ def make_fused_train_step(
     n1 = n1g // n_dev
     n2 = n2g // n_dev
     n3 = n3g // n_dev
-    R = n1 + n2 + n3
     S = ropts.n_samples
 
-    def _scales(w_d):
+    def _scales(w_d, n3, R):
         zeros1 = jnp.zeros((n1,), jnp.float32)
         # fine-model scales: img MSE on batch 1, depth_lambda * disp MSE on
         # batch 2, depth_lambda * (optionally reprojection-weighted) depth MSE
@@ -122,6 +124,11 @@ def make_fused_train_step(
         return s_rgb, s_disp, s_depth
 
     def step_grads(params, streams: DeviceStreams, key):
+        # batch 3 needs actual COLMAP depth data; like base_losses
+        # (`train/step.py:176`), skip it when the stream is empty (shapes are
+        # static under jit, so this is a trace-time branch)
+        n3_eff = n3 if streams.depth_target.shape[0] > 0 else 0
+        R = n1 + n2 + n3_eff
         k_clf, k_inp, k_dep, k_z0, k_n0, k_pdf, k_n1 = jax.random.split(key, 7)
 
         ro, rd, t_rgb1 = sample_clf_batch(
@@ -130,7 +137,7 @@ def make_fused_train_step(
         parts_o, parts_d = [ro], [rd]
         t_disp = jnp.zeros((n1,))
         t_depth = jnp.zeros((R,))
-        w_d = None
+        w_d = None  # noqa: n3_eff gates batch 3 below
         if n2:
             ro2, rd2, t_inp = sample_inp_batch(
                 k_inp, streams, n2, scfg.H, scfg.W, scfg.focal
@@ -138,17 +145,17 @@ def make_fused_train_step(
             parts_o.append(ro2)
             parts_d.append(rd2)
             t_disp = jnp.concatenate([t_disp, t_inp])
-        if n3:
-            ro3, rd3, t_d, w_d = sample_depth_batch(k_dep, streams, n3)
+        if n3_eff:
+            ro3, rd3, t_d, w_d = sample_depth_batch(k_dep, streams, n3_eff)
             parts_o.append(ro3)
             parts_d.append(rd3)
-            t_disp = jnp.concatenate([t_disp, jnp.zeros((n3,))])
+            t_disp = jnp.concatenate([t_disp, jnp.zeros((n3_eff,))])
             t_depth = t_depth.at[n1 + n2:].set(t_d)
         ro = jnp.concatenate(parts_o)
         rd = jnp.concatenate(parts_d)
-        t_rgb = jnp.concatenate([t_rgb1, jnp.zeros((n2 + n3, 3))])
+        t_rgb = jnp.concatenate([t_rgb1, jnp.zeros((n2 + n3_eff, 3))])
 
-        s_rgb, s_disp, s_depth = _scales(w_d)
+        s_rgb, s_disp, s_depth = _scales(w_d, n3_eff, R)
         # coarse model: only the img0 term (`run.py:1018`), still rendering
         # ALL rays — batches 2/3 need its weights for importance sampling
         s_rgb0 = jnp.where(

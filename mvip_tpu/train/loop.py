@@ -225,9 +225,21 @@ def build_models(cfg: Config, key: jax.Array):
             f"unknown backbone {backbone!r}: mlp | hashgrid | hashgrid_fused | triplane"
         )
     fused = backbone == "hashgrid_fused"
+    log2 = cfg.hashgrid_log2 or (15 if fused else 19)
+    if fused:
+        from mvip_tpu.ops.pallas_hashgrid import MAX_FUSED_LOG2
+
+        if log2 > MAX_FUSED_LOG2:
+            # refuse rather than silently fall back to the ~18x-slower XLA
+            # gather encode the backbone name promises to avoid
+            raise ValueError(
+                f"backbone hashgrid_fused needs hashgrid_log2 <= "
+                f"{MAX_FUSED_LOG2} (got {log2}); use --backbone hashgrid "
+                f"for larger tables"
+            )
     hcfg = HashGridConfig(
-        log2_table_size=cfg.hashgrid_log2 or (15 if fused else 19),
-        fused=fused,
+        log2_table_size=log2,
+        fused=fused and cfg.use_pallas,  # --use_pallas False = Pallas kill switch
         fused_dtype=cfg.hashgrid_fused_dtype,
     )
     params = {"coarse": init_hashgrid_nerf(k1, hcfg)}
@@ -460,7 +472,8 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
 
             n_inner = max(int(cfg.megastep), 1)
             if cfg.use_pallas and fused_step_supported(
-                exp.scfg, exp.ropts, exp.backbone, exp.model_cfg
+                exp.scfg, exp.ropts, exp.backbone, exp.model_cfg,
+                n_devices=mesh.size,
             ):
                 # MLP fast path: render + loss + backward fused into two
                 # Pallas kernels per step (ops/pallas_train.py); per-device

@@ -180,40 +180,19 @@ def test_fused_scan_trains():
 
 def test_fused_step_trains():
     """End-to-end fused step (interpret mode): loss decreases on a tiny scene."""
-    from mvip_tpu.data.rays import build_ray_streams
     from mvip_tpu.render.renderer import RenderOptions
     from mvip_tpu.train.fused_step import make_fused_train_step
     from mvip_tpu.train.state import create_train_state, make_optimizer
-    from mvip_tpu.train.step import DeviceStreams, StepConfig
-    from mvip_tpu.models.nerf_mlp import init_nerf_mlp
+    from mvip_tpu.train.step import StepConfig
 
-    rng = np.random.default_rng(0)
-    n_views, H, W = 3, 16, 16
-    images = rng.uniform(0, 1, (n_views, H, W, 3)).astype(np.float32)
-    masks = np.zeros((n_views, H, W), np.float32)
-    masks[:, 5:10, 5:10] = 1.0
-    depths = rng.uniform(0.2, 0.6, (n_views, H, W)).astype(np.float32)
-    poses = np.zeros((n_views, 3, 4), np.float32)
-    for v in range(n_views):
-        th = v * 0.4
-        c, s = np.cos(th), np.sin(th)
-        poses[v, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-        poses[v, :3, 3] = [s * 4, 0, c * 4]
-    streams = build_ray_streams(images, masks, depths, poses, 20.0)
-    ds = DeviceStreams.from_host(streams)
-
-    mcfg = CFG
-    params = {
-        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg),
-        "fine": init_nerf_mlp(jax.random.PRNGKey(2), mcfg),
-    }
+    streams, ds, params = _tiny_scene()
     scfg = StepConfig(n_rand=32, depth_loss=True, depth_lambda=0.1,
-                      near=1.0, far=7.0, H=H, W=W, focal=20.0)
+                      near=1.0, far=7.0, H=16, W=16, focal=20.0)
     ropts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
                           raw_noise_std=1.0, white_bkgd=True)
     optimizer = make_optimizer(3e-3, 10)
     state = create_train_state(params, optimizer)
-    step = make_fused_train_step(scfg, ropts, mcfg, optimizer, block_rays=16,
+    step = make_fused_train_step(scfg, ropts, CFG, optimizer, block_rays=16,
                                  interpret=True)
 
     losses = []
