@@ -128,3 +128,29 @@ def test_train_on_synthetic_nerd(tmp_path):
     logs = []
     train(cfg, log_fn=logs.append)
     assert any("step 3" in l for l in logs), logs[-3:]
+
+
+def test_train_megastep_strides(tmp_path):
+    """--megastep N: the loop strides by N, checkpoints and prints still fire
+    (cadence checks use i % k < stride), and state.step reaches N_iters."""
+    from mvip_tpu.config import Config
+    from mvip_tpu.train.loop import train
+
+    data = tmp_path / "data"
+    _write_blender_fixture(str(data))
+    cfg = Config(
+        expname="mega_e2e", basedir=str(tmp_path / "logs"),
+        datadir=str(data), dataset_type="blender",
+        N_rand=16, N_samples=4, N_importance=4, N_iters=9, i_print=4,
+        i_weights=6, i_video=0, i_testset=0, megastep=3,
+        no_tcnn=True, netdepth=2, netwidth=16, multires=2, multires_views=2,
+        depth_loss=False, raw_noise_std=1.0, white_bkgd=True,
+        second_stage=False, testskip=1,
+    )
+    logs = []
+    state = train(cfg, log_fn=logs.append)
+    assert int(state.step) >= 9
+    # i_print=4 with stride 3: fires at i=0 (0<3) and i=6 (6%4=2<3)
+    assert any("step 6" in l for l in logs), logs
+    ckpt_dir = tmp_path / "logs" / "mega_e2e" / "ckpt"
+    assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
