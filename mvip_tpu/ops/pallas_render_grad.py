@@ -80,7 +80,7 @@ def _forward_mlp(params, cfg, pts, vd_pts, save):
 
 def _bwd_kernel(ro_ref, rd_ref, z_ref, grgb_ref, gdisp_ref, gacc_ref,
                 gdepth_ref, *refs, cfg: NeRFMLPConfig, white_bkgd: bool,
-                names, n_params: int):
+                names, n_params: int, fast: bool = False):
     param_refs = refs[:n_params]
     grad_refs = refs[n_params:]
     params = _unflatten_params(param_refs, names)
@@ -180,13 +180,18 @@ def _bwd_kernel(ro_ref, rd_ref, z_ref, grgb_ref, gdisp_ref, gacc_ref,
                 def _():
                     ref[:] = ref[:] + g_b
 
+    # `fast` drops the dense matmuls to DEFAULT precision (what XLA autodiff
+    # uses; HIGHEST costs ~2.7x wall-clock — see ops/pallas_train.py). The
+    # tiny [S, S] compositing triangulars above always stay HIGHEST.
+    dense_prec = None if fast else hp
+
     def dense_bwd(p, h_in, g_out):
         g_w = jax.lax.dot_general(h_in, g_out, (((0,), (0,)), ((), ())),
-                                  precision=hp,
+                                  precision=dense_prec,
                                   preferred_element_type=jnp.float32)
         g_b = jnp.sum(g_out, 0)
         g_in = jax.lax.dot_general(g_out, p["w"], (((1,), (1,)), ((), ())),
-                                   precision=hp,
+                                   precision=dense_prec,
                                    preferred_element_type=jnp.float32)
         return g_w, g_b, g_in
 
@@ -214,7 +219,7 @@ def _bwd_kernel(ro_ref, rd_ref, z_ref, grgb_ref, gdisp_ref, gacc_ref,
 
 
 def _run_bwd(params, cfg, rays_o, rays_d, z_vals, cots, white_bkgd, block_rays,
-             interpret):
+             interpret, fast=False):
     N, S = z_vals.shape
     blk = min(block_rays, N)
     n_blocks = -(-N // blk)
@@ -245,7 +250,7 @@ def _run_bwd(params, cfg, rays_o, rays_d, z_vals, cots, white_bkgd, block_rays,
     out_shapes = tuple(jax.ShapeDtypeStruct(l.shape, jnp.float32) for l in leaves)
 
     kern = partial(_bwd_kernel, cfg=cfg, white_bkgd=white_bkgd, names=names,
-                   n_params=len(leaves))
+                   n_params=len(leaves), fast=fast)
     grad_leaves = pl.pallas_call(
         kern,
         out_shape=out_shapes,
@@ -271,14 +276,17 @@ def _run_bwd(params, cfg, rays_o, rays_d, z_vals, cots, white_bkgd, block_rays,
     return grads
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7, 8))
 def fused_train_render(params, cfg: NeRFMLPConfig, rays_o, rays_d, z_vals,
                        white_bkgd: bool = False, block_rays: int = 16,
-                       interpret: bool = False) -> Dict[str, jnp.ndarray]:
+                       interpret: bool = False,
+                       fast_bwd: bool = False) -> Dict[str, jnp.ndarray]:
     """Differentiable (w.r.t. params ONLY) fused render for the MLP backbone.
 
     Returns {rgb, disp, acc, depth}. Rays/z_vals receive zero gradient — the
-    train step never needs them (importance depths are detached)."""
+    train step never needs them (importance depths are detached).
+    `fast_bwd` drops the backward's dense matmuls to DEFAULT precision
+    (matching XLA autodiff; the bit-exact mode keeps HIGHEST)."""
     out = fused_render_mlp(params, cfg, rays_o, rays_d, z_vals,
                            white_bkgd=white_bkgd, block_rays=block_rays,
                            interpret=interpret)
@@ -286,17 +294,17 @@ def fused_train_render(params, cfg: NeRFMLPConfig, rays_o, rays_d, z_vals,
 
 
 def _ftr_fwd(params, cfg, rays_o, rays_d, z_vals, white_bkgd, block_rays,
-             interpret):
+             interpret, fast_bwd):
     out = fused_train_render(params, cfg, rays_o, rays_d, z_vals, white_bkgd,
-                             block_rays, interpret)
+                             block_rays, interpret, fast_bwd)
     return out, (params, rays_o, rays_d, z_vals)
 
 
-def _ftr_bwd(cfg, white_bkgd, block_rays, interpret, res, cots):
+def _ftr_bwd(cfg, white_bkgd, block_rays, interpret, fast_bwd, res, cots):
     params, rays_o, rays_d, z_vals = res
     g = (cots["rgb"], cots["disp"], cots["acc"], cots["depth"])
     grads = _run_bwd(params, cfg, rays_o, rays_d, z_vals, g, white_bkgd,
-                     block_rays, interpret)
+                     block_rays, interpret, fast=fast_bwd)
     return (grads, jnp.zeros_like(rays_o), jnp.zeros_like(rays_d),
             jnp.zeros_like(z_vals))
 
