@@ -225,15 +225,19 @@ def main():
     scan_rate = bench_mlp_scan()
     tri_rate = bench_backbone("triplane")
     hash_rate = bench_backbone("hashgrid")
-    hash_fused_rate = bench_backbone("hashgrid_fused")
+    # the fused encode is TPU-only (_fused_available); off-TPU this would
+    # silently measure the XLA fallback under the "fused" label
+    hash_fused_rate = bench_backbone("hashgrid_fused") if on_tpu else 0.0
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as fh:
             baseline = json.load(fh).get("torch_cpu_mlp_rays_per_sec")
 
-    # headline = the shipped default training path (train/loop.py picks the
-    # fused-Pallas step for the MLP backbone on one chip; XLA otherwise)
+    # headline = the fastest train path for the REFERENCE's model (the
+    # --no_tcnn PE-MLP, like-for-like math vs the measured torch baseline in
+    # BASELINE_MEASURED.json). Backbone-specific rates follow, including the
+    # shipped default hashgrid_fused.
     best = max(mlp_rate, fused_rate)
     result = {
         "metric": "train_rays_per_sec (1024 rays, 64+64 samples, coarse+fine, full step)",

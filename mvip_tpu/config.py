@@ -155,8 +155,10 @@ class Config:
     use_pallas: bool = True                  # Pallas kernels on TPU hot paths
     megastep: int = 1                        # guidance-off: lax.scan this many train
                                              # steps per dispatch (amortizes tunnel/host
-                                             # dispatch latency; print/ckpt cadences
-                                             # round up to multiples of it)
+                                             # dispatch latency). N_iters and the
+                                             # print/ckpt/render cadences round UP to
+                                             # whole dispatches; logs/artifacts are
+                                             # labeled with the last completed step
     max_masked_pixels: int = 0               # 0 = auto (max over train views, padded)
     gui: bool = False                        # reference spawns tkinter unconditionally
     profile_dir: Optional[str] = None        # jax.profiler trace output

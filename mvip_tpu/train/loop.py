@@ -226,7 +226,7 @@ def build_models(cfg: Config, key: jax.Array):
         )
     fused = backbone == "hashgrid_fused"
     log2 = cfg.hashgrid_log2 or (15 if fused else 19)
-    if fused:
+    if fused and cfg.use_pallas:
         from mvip_tpu.ops.pallas_hashgrid import MAX_FUSED_LOG2
 
         if log2 > MAX_FUSED_LOG2:
@@ -462,6 +462,11 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply, optimizer,
                 mcfg, gm, s_rgb, s_nrm, s_col, pair_rgb, pair_nrm,
             )
+            if int(cfg.megastep) > 1:
+                log_fn(
+                    "NOTE: --megastep applies to guidance-off training only; "
+                    "running the SDS step at one step per dispatch"
+                )
             phase("guidance models resident (SDS on)")
         else:
             from mvip_tpu.train.fused_step import (
@@ -470,7 +475,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 make_fused_train_step,
             )
 
-            n_inner = max(int(cfg.megastep), 1)
+            n_inner = step_stride = max(int(cfg.megastep), 1)
             if cfg.use_pallas and fused_step_supported(
                 exp.scfg, exp.ropts, exp.backbone, exp.model_cfg,
                 n_devices=mesh.size,
@@ -503,9 +508,14 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply,
                     optimizer,
                 )
-        step_stride = 1 if use_guidance else max(int(cfg.megastep), 1)
+        if use_guidance:
+            step_stride = 1
 
         n_iters = (max_steps or cfg.N_iters) + 1
+        if step_stride > 1:
+            # a scan dispatch always runs step_stride steps; round the budget
+            # up to a whole number of dispatches (documented in config.py)
+            n_iters = -(-n_iters // step_stride) * step_stride
         timer = StepTimer(cfg.N_rand * step_stride)
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
@@ -517,6 +527,9 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         try:
             with maybe_trace(cfg.profile_dir):
                 for i in range(start, n_iters, step_stride):
+                    # label artifacts/logs with the LAST inner step of this
+                    # dispatch (== i at stride 1; scan metrics are m[-1])
+                    lab = i + step_stride - 1
                     key = jax.random.fold_in(base_key, i)
                     if use_guidance:
                         state, metrics = train_step(
@@ -541,7 +554,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                             for k in keys_m if k.startswith("sds_")
                         )
                         log_fn(
-                            f"[step {i}] loss={m['loss']:.5f} img={m['img_loss']:.5f} "
+                            f"[step {lab}] loss={m['loss']:.5f} img={m['img_loss']:.5f} "
                             f"depth={m['depth_loss']:.5f} psnr={m['psnr']:.2f}"
                             + extra
                             + (f" rays/s={rate:,.0f}" if rate else "")
@@ -550,7 +563,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         # reference stubbed out — TensorBoard import, `run.py:15,793`)
                         import json as _json
 
-                        rec = {"step": i, **{k: float(v) for k, v in m.items()}}
+                        rec = {"step": lab, **{k: float(v) for k, v in m.items()}}
                         if rate:
                             rec["rays_per_sec"] = rate
                         metrics_log.write(_json.dumps(rec) + "\n")
@@ -559,7 +572,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         timer.tick()
                     if i > start and i % cfg.i_weights < step_stride:
                         ckpt.save(jax.device_get(state))
-                        log_fn(f"saved checkpoint at step {i}")
+                        log_fn(f"saved checkpoint at step {int(state.step)}")
                     if i % cfg.i_print < step_stride:
                         watcher.check()  # apply control.json edits
                         import time as _t
@@ -568,9 +581,9 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                             _t.sleep(2)
                             watcher.check()
                     if i > start and controls.i_video > 0 and i % int(controls.i_video) < step_stride:
-                        _render_videos(cfg, exp, state, expdir, i, controls, log_fn)
+                        _render_videos(cfg, exp, state, expdir, lab, controls, log_fn)
                     if i > start and cfg.i_testset > 0 and i % cfg.i_testset < step_stride:
-                        _render_testset(cfg, exp, state, expdir, i, log_fn)
+                        _render_testset(cfg, exp, state, expdir, lab, log_fn)
         except (KeyboardInterrupt, Exception):
             try:
                 if ckpt.latest_step() != int(state.step):

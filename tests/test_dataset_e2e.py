@@ -149,8 +149,9 @@ def test_train_megastep_strides(tmp_path):
     )
     logs = []
     state = train(cfg, log_fn=logs.append)
-    assert int(state.step) >= 9
-    # i_print=4 with stride 3: fires at i=0 (0<3) and i=6 (6%4=2<3)
-    assert any("step 6" in l for l in logs), logs
+    # budget rounds UP to whole dispatches: N_iters=9 -> 10 -> 12 steps
+    assert int(state.step) == 12
+    # prints label the LAST inner step of the dispatch (i=6 -> step 8)
+    assert any("step 8" in l for l in logs), logs
     ckpt_dir = tmp_path / "logs" / "mega_e2e" / "ckpt"
     assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
