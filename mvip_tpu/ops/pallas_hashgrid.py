@@ -78,14 +78,16 @@ def _corner_geometry(x, res, B):
 
 def _corner_indices(corners, res, use_dense, T):
     """(cx, cy, cz) [B, 8] -> table indices [B, 8]; tcnn's dense-or-hash rule
-    (models/nerf_hashgrid.py `_hash_corners`)."""
+    (models/nerf_hashgrid.py `_hash_corners`).
+
+    T is a power of two (log2_table_size config), so the wraps are `& (T-1)`
+    — identical to jnp.remainder's nonnegative result in two's complement,
+    and far cheaper than the VPU's integer-modulo expansion."""
     cx, cy, cz = corners
     res1 = res + 1
     dense_idx = (cx * res1 + cy) * res1 + cz
     h = cx * _PRIMES_I32[0] ^ cy * _PRIMES_I32[1] ^ cz * _PRIMES_I32[2]
-    return jnp.where(
-        use_dense > 0, jnp.remainder(dense_idx, T), jnp.remainder(h, T)
-    )
+    return jnp.where(use_dense > 0, dense_idx & (T - 1), h & (T - 1))
 
 
 def _gather_rows_c(tbl, hi_c, B, BT, compute_dtype):
@@ -109,7 +111,7 @@ def _lane_select(rows_c, lo_c, F, B):
     lane gather (indices must span all 128 lanes for Mosaic; sliced after).
     Per-corner because Mosaic cannot concatenate narrow (1-lane) vectors."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
-    li = lo_c * F + jnp.remainder(lane, F)
+    li = lo_c * F + (lane & (F - 1))  # F divides 128 => power of two
     return jnp.take_along_axis(rows_c, li, axis=1)[:, :F]
 
 
@@ -123,7 +125,8 @@ def _fwd_kernel(res_ref, dense_ref, x_ref, tbl_ref, out_ref, *, T, F, BT,
     B = x.shape[0]
     corners, w, _, _ = _corner_geometry(x, res, B)
     idx = _corner_indices(corners, res, use_dense, T)
-    hi, lo = idx // RE, idx % RE
+    # RE = 128/F is a power of two: shift/mask instead of int div/mod
+    hi, lo = idx >> RE.bit_length() - 1, idx & (RE - 1)
     tbl = tbl_ref[0]
     acc = jnp.zeros((B, F), jnp.float32)
     for c in range(8):
@@ -144,7 +147,7 @@ def _bwd_table_kernel(res_ref, dense_ref, x_ref, g_ref, out_ref, *, T, F, BT,
     B = x.shape[0]
     corners, w, _, _ = _corner_geometry(x, res, B)
     idx = _corner_indices(corners, res, use_dense, T)
-    hi, lo = idx // RE, idx % RE
+    hi, lo = idx >> RE.bit_length() - 1, idx & (RE - 1)
 
     g = g_ref[0]                                            # [B, F]
     # per-corner: spread the weighted cotangent onto the entry's lanes, then
