@@ -242,6 +242,7 @@ def main():
     result = {
         "metric": "train_rays_per_sec (1024 rays, 64+64 samples, coarse+fine, full step)",
         "value": round(best, 1),
+        "headline_path": "mlp_fused" if fused_rate >= mlp_rate else "mlp_xla",
         "unit": "rays/s",
         "vs_baseline": round(best / baseline, 2) if baseline else None,
         "mlp_xla_step_rays_per_sec": round(mlp_rate, 1),

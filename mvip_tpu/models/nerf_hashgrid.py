@@ -177,7 +177,10 @@ def hashgrid_encode(
 
     def level(tbl, res, dense_ok):
         pos = x * res  # [N, 3]
-        ipos = jnp.floor(pos).astype(jnp.int32)
+        # clamp so clipped boundary points (x == 1.0) keep corners <= res:
+        # beyond that, dense indices leave the (res+1)^3 range and alias
+        # after the table wrap (mirrors ops/pallas_hashgrid._corner_geometry)
+        ipos = jnp.minimum(jnp.floor(pos).astype(jnp.int32), res - 1)
         frac = pos - ipos
         corners = ipos[:, None, :] + corner_offsets[None]          # [N, 8, 3]
         idx = _hash_corners(corners, res, table_size, dense_ok)    # [N, 8]

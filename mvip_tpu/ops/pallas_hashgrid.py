@@ -61,9 +61,12 @@ def _corner_geometry(x, res, B):
     (cx, cy, cz int coords [B, 8], trilinear weights [B, 8], frac [B, 3]).
 
     Exactly `hashgrid_encode`'s floor/frac/corner rule so the fused and XLA
-    paths are interchangeable."""
+    paths are interchangeable. The floor is clamped to res-1 so clipped
+    boundary points (x == 1.0) keep corner coords <= res — otherwise dense
+    indices exceed the (res+1)^3 range and alias after `& (T-1)` (frac
+    becomes 1.0 there: the exact trilinear boundary value)."""
     pos = x * res.astype(jnp.float32)
-    ipos = jnp.floor(pos).astype(jnp.int32)
+    ipos = jnp.minimum(jnp.floor(pos).astype(jnp.int32), res - 1)
     frac = pos - ipos.astype(jnp.float32)
     k = jax.lax.broadcasted_iota(jnp.int32, (B, 8), 1)
     ox, oy, oz = (k >> 2) & 1, (k >> 1) & 1, k & 1

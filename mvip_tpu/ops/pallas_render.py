@@ -47,13 +47,14 @@ def _dense(p, x):
     return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
 
 
-def _render_kernel(ro_ref, rd_ref, z_ref, *param_refs, rgb_ref, disp_ref,
-                   acc_ref, depth_ref, weights_ref, cfg: NeRFMLPConfig,
-                   white_bkgd: bool, names):
+def _render_kernel(ro_ref, rd_ref, z_ref, noise_ref, *param_refs, rgb_ref,
+                   disp_ref, acc_ref, depth_ref, weights_ref,
+                   cfg: NeRFMLPConfig, white_bkgd: bool, names):
     params = _unflatten_params(param_refs, names)
     ro = ro_ref[:]                    # [R, 3]
     rd = rd_ref[:]                    # [R, 3]
     z = z_ref[:]                      # [R, S]
+    noise = noise_ref[:]              # [R, S] sigma noise (zeros when off)
     R, S = z.shape
 
     pts = (ro[:, None, :] + rd[:, None, :] * z[..., None]).reshape(R * S, 3)
@@ -73,7 +74,7 @@ def _render_kernel(ro_ref, rd_ref, z_ref, *param_refs, rgb_ref, disp_ref,
     h2 = jax.nn.relu(_dense(params["views"], jnp.concatenate([feat, v], -1)))
     rgb = jax.nn.sigmoid(_dense(params["rgb"], h2))         # [R*S, 3]
 
-    sigma = jax.nn.relu(sigma).reshape(R, S)
+    sigma = jax.nn.relu(sigma.reshape(R, S) + noise)
     rgb = rgb.reshape(R, S, 3)
 
     # --- compositing (raw2outputs semantics, `run_nerf_helpers.py:350-404`) ---
@@ -143,13 +144,16 @@ def fused_render_mlp(
     cfg: NeRFMLPConfig,
     rays_o: jnp.ndarray,    # [N, 3]
     rays_d: jnp.ndarray,    # [N, 3]
-    z_vals: jnp.ndarray,    # [N, S] (deterministic sample depths)
+    z_vals: jnp.ndarray,    # [N, S] (jittered for training, det for eval)
     white_bkgd: bool = False,
     block_rays: int = 32,
     interpret: bool = False,
+    noise: jnp.ndarray = None,  # [N, S] pre-relu sigma noise (raw_noise_std)
 ) -> Dict[str, jnp.ndarray]:
     """Fused forward render of the PE-MLP backbone. Returns rgb/disp/acc/depth."""
     N, S = z_vals.shape
+    if noise is None:
+        noise = jnp.zeros((N, S), z_vals.dtype)
     blk = min(block_rays, N)
     n_blocks = -(-N // blk)
     pad = n_blocks * blk - N
@@ -157,6 +161,7 @@ def fused_render_mlp(
         rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))])
         rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))])
         z_vals = jnp.concatenate([z_vals, jnp.broadcast_to(z_vals[-1:], (pad, S))])
+        noise = jnp.concatenate([noise, jnp.zeros((pad, S), noise.dtype)])
 
     leaves, names = _flatten_params(params)
     ray_spec = lambda c: pl.BlockSpec((blk, c), lambda i: (i, 0),
@@ -168,10 +173,10 @@ def fused_render_mlp(
     ]
     kernel = partial(_render_kernel, cfg=cfg, white_bkgd=white_bkgd, names=names)
 
-    def kern(ro, rd, z, *ws_and_outs):
+    def kern(ro, rd, z, noi, *ws_and_outs):
         ws = ws_and_outs[: len(leaves)]
         rgb, disp, acc, depth, weights = ws_and_outs[len(leaves):]
-        kernel(ro, rd, z, *ws, rgb_ref=rgb, disp_ref=disp, acc_ref=acc,
+        kernel(ro, rd, z, noi, *ws, rgb_ref=rgb, disp_ref=disp, acc_ref=acc,
                depth_ref=depth, weights_ref=weights)
 
     out_shapes = (
@@ -185,11 +190,11 @@ def fused_render_mlp(
         kern,
         out_shape=out_shapes,
         grid=(n_blocks,),
-        in_specs=[ray_spec(3), ray_spec(3), ray_spec(S)] + w_specs,
+        in_specs=[ray_spec(3), ray_spec(3), ray_spec(S), ray_spec(S)] + w_specs,
         out_specs=(ray_spec(3), ray_spec(1), ray_spec(1), ray_spec(1),
                    ray_spec(S)),
         interpret=interpret,
-    )(rays_o, rays_d, z_vals, *leaves)
+    )(rays_o, rays_d, z_vals, noise, *leaves)
     return {
         "rgb": rgb[:N],
         "disp": disp[:N, 0],

@@ -78,9 +78,9 @@ def _forward_mlp(params, cfg, pts, vd_pts, save):
     return sigma_raw, rgb_raw
 
 
-def _bwd_kernel(ro_ref, rd_ref, z_ref, grgb_ref, gdisp_ref, gacc_ref,
-                gdepth_ref, *refs, cfg: NeRFMLPConfig, white_bkgd: bool,
-                names, n_params: int, fast: bool = False):
+def _bwd_kernel(ro_ref, rd_ref, z_ref, noise_ref, grgb_ref, gdisp_ref,
+                gacc_ref, gdepth_ref, *refs, cfg: NeRFMLPConfig,
+                white_bkgd: bool, names, n_params: int, fast: bool = False):
     param_refs = refs[:n_params]
     grad_refs = refs[n_params:]
     params = _unflatten_params(param_refs, names)
@@ -88,6 +88,7 @@ def _bwd_kernel(ro_ref, rd_ref, z_ref, grgb_ref, gdisp_ref, gacc_ref,
     ro = ro_ref[:]
     rd = rd_ref[:]
     z = z_ref[:]
+    noise = noise_ref[:]
     R, S = z.shape
     P = R * S
 
@@ -98,7 +99,8 @@ def _bwd_kernel(ro_ref, rd_ref, z_ref, grgb_ref, gdisp_ref, gacc_ref,
     save = {"in_pts": [], "mask_pts": []}
     sigma_raw, rgb_raw = _forward_mlp(params, cfg, pts, vd_pts, save)
 
-    sigma = jax.nn.relu(sigma_raw).reshape(R, S)
+    sigma_noisy = sigma_raw.reshape(R, S) + noise
+    sigma = jax.nn.relu(sigma_noisy)
     c = jax.nn.sigmoid(rgb_raw).reshape(R, S, 3)
 
     # ---- recompute compositing ----
@@ -148,7 +150,7 @@ def _bwd_kernel(ro_ref, rd_ref, z_ref, grgb_ref, gdisp_ref, gacc_ref,
         preferred_element_type=jnp.float32)
     alphabar = wbar * T - suffix / one_m
     sigmabar = alphabar * dists * (1.0 - alpha)          # d alpha / d sigma
-    sigmabar = sigmabar * (sigma_raw.reshape(R, S) > 0)  # relu
+    sigmabar = sigmabar * (sigma_noisy > 0)              # relu at NOISY sigma
     cbar = w[..., None] * g_rgb[:, None, :] * c * (1.0 - c)  # sigmoid'
 
     g_sigma_raw = sigmabar.reshape(P, 1)
@@ -218,8 +220,8 @@ def _bwd_kernel(ro_ref, rd_ref, z_ref, grgb_ref, gdisp_ref, gacc_ref,
         accum(("pts", i), gw, gb)
 
 
-def _run_bwd(params, cfg, rays_o, rays_d, z_vals, cots, white_bkgd, block_rays,
-             interpret, fast=False):
+def _run_bwd(params, cfg, rays_o, rays_d, z_vals, noise, cots, white_bkgd,
+             block_rays, interpret, fast=False):
     N, S = z_vals.shape
     blk = min(block_rays, N)
     n_blocks = -(-N // blk)
@@ -230,6 +232,7 @@ def _run_bwd(params, cfg, rays_o, rays_d, z_vals, cots, white_bkgd, block_rays,
         rays_o = jnp.concatenate([rays_o, jnp.broadcast_to(rays_o[-1:], (pad, 3))])
         rays_d = jnp.concatenate([rays_d, jnp.broadcast_to(rays_d[-1:], (pad, 3))])
         z_vals = jnp.concatenate([z_vals, jnp.broadcast_to(z_vals[-1:], (pad, S))])
+        noise = zpad(noise, S)
         # ZERO cotangents for padded rays: they must not contribute to dW
         g_rgb, g_disp, g_acc, g_depth = (
             zpad(g_rgb, 3), zpad(g_disp[:, None], 1), zpad(g_acc[:, None], 1),
@@ -255,8 +258,8 @@ def _run_bwd(params, cfg, rays_o, rays_d, z_vals, cots, white_bkgd, block_rays,
         kern,
         out_shape=out_shapes,
         grid=(n_blocks,),
-        in_specs=[ray_spec(3), ray_spec(3), ray_spec(S), ray_spec(3),
-                  ray_spec(1), ray_spec(1), ray_spec(1)] + w_specs,
+        in_specs=[ray_spec(3), ray_spec(3), ray_spec(S), ray_spec(S),
+                  ray_spec(3), ray_spec(1), ray_spec(1), ray_spec(1)] + w_specs,
         out_specs=out_specs,
         # stored activations + weights + weight-grads exceed the 16MB default
         # scoped budget; v5e has headroom above it
@@ -264,7 +267,7 @@ def _run_bwd(params, cfg, rays_o, rays_d, z_vals, cots, white_bkgd, block_rays,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(rays_o, rays_d, z_vals, g_rgb, g_disp, g_acc, g_depth, *leaves)
+    )(rays_o, rays_d, z_vals, noise, g_rgb, g_disp, g_acc, g_depth, *leaves)
 
     # rebuild the param pytree of gradients
     grads = {"pts": [{} for _ in params["pts"]]}
@@ -276,37 +279,118 @@ def _run_bwd(params, cfg, rays_o, rays_d, z_vals, cots, white_bkgd, block_rays,
     return grads
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7, 8))
-def fused_train_render(params, cfg: NeRFMLPConfig, rays_o, rays_d, z_vals,
-                       white_bkgd: bool = False, block_rays: int = 16,
-                       interpret: bool = False,
-                       fast_bwd: bool = False) -> Dict[str, jnp.ndarray]:
-    """Differentiable (w.r.t. params ONLY) fused render for the MLP backbone.
-
-    Returns {rgb, disp, acc, depth}. Rays/z_vals receive zero gradient — the
-    train step never needs them (importance depths are detached).
-    `fast_bwd` drops the backward's dense matmuls to DEFAULT precision
-    (matching XLA autodiff; the bit-exact mode keeps HIGHEST)."""
+@partial(jax.custom_vjp, nondiff_argnums=(1, 6, 7, 8, 9))
+def _fused_train_render_core(params, cfg: NeRFMLPConfig, rays_o, rays_d,
+                             z_vals, noise, white_bkgd: bool,
+                             block_rays: int, interpret: bool,
+                             fast_bwd: bool) -> Dict[str, jnp.ndarray]:
     out = fused_render_mlp(params, cfg, rays_o, rays_d, z_vals,
                            white_bkgd=white_bkgd, block_rays=block_rays,
-                           interpret=interpret)
+                           interpret=interpret, noise=noise)
     return {k: out[k] for k in ("rgb", "disp", "acc", "depth")}
 
 
-def _ftr_fwd(params, cfg, rays_o, rays_d, z_vals, white_bkgd, block_rays,
-             interpret, fast_bwd):
-    out = fused_train_render(params, cfg, rays_o, rays_d, z_vals, white_bkgd,
-                             block_rays, interpret, fast_bwd)
-    return out, (params, rays_o, rays_d, z_vals)
+def _ftr_fwd(params, cfg, rays_o, rays_d, z_vals, noise, white_bkgd,
+             block_rays, interpret, fast_bwd):
+    out = _fused_train_render_core(params, cfg, rays_o, rays_d, z_vals, noise,
+                                   white_bkgd, block_rays, interpret, fast_bwd)
+    return out, (params, rays_o, rays_d, z_vals, noise)
 
 
 def _ftr_bwd(cfg, white_bkgd, block_rays, interpret, fast_bwd, res, cots):
-    params, rays_o, rays_d, z_vals = res
+    params, rays_o, rays_d, z_vals, noise = res
     g = (cots["rgb"], cots["disp"], cots["acc"], cots["depth"])
-    grads = _run_bwd(params, cfg, rays_o, rays_d, z_vals, g, white_bkgd,
+    grads = _run_bwd(params, cfg, rays_o, rays_d, z_vals, noise, g, white_bkgd,
                      block_rays, interpret, fast=fast_bwd)
     return (grads, jnp.zeros_like(rays_o), jnp.zeros_like(rays_d),
-            jnp.zeros_like(z_vals))
+            jnp.zeros_like(z_vals), jnp.zeros_like(noise))
 
 
-fused_train_render.defvjp(_ftr_fwd, _ftr_bwd)
+_fused_train_render_core.defvjp(_ftr_fwd, _ftr_bwd)
+
+
+def fused_train_render(params, cfg: NeRFMLPConfig, rays_o, rays_d, z_vals,
+                       white_bkgd: bool = False, block_rays: int = 16,
+                       interpret: bool = False, fast_bwd: bool = False,
+                       noise=None) -> Dict[str, jnp.ndarray]:
+    """Differentiable (w.r.t. params ONLY) fused render for the MLP backbone.
+
+    Returns {rgb, disp, acc, depth}. Rays/z_vals/noise receive zero gradient —
+    the train step never needs them (importance depths are detached).
+    `noise` [N, S] is pre-relu sigma noise (the reference's raw_noise_std
+    regularizer, `run_nerf_helpers.py:366`); None = off.
+    `fast_bwd` drops the backward's dense matmuls to DEFAULT precision
+    (matching XLA autodiff; the bit-exact mode keeps HIGHEST)."""
+    if noise is None:
+        noise = jnp.zeros_like(z_vals)
+    return _fused_train_render_core(params, cfg, rays_o, rays_d, z_vals, noise,
+                                    white_bkgd, block_rays, interpret, fast_bwd)
+
+
+def fused_train_hier_render(
+    key,
+    params_coarse,
+    params_fine,
+    cfg: NeRFMLPConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    n_samples: int,
+    n_importance: int,
+    perturb: float = 1.0,
+    raw_noise_std: float = 0.0,
+    lindisp: bool = False,
+    white_bkgd: bool = False,
+    block_rays: int = 16,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Training-mode hierarchical render on the fused megakernels,
+    differentiable w.r.t. the FINE params only.
+
+    The Pallas replacement for `render_rays` in the guidance losses
+    (`train/mvip_step.py`): same stochastic semantics (jittered z, sigma
+    noise, inverse-CDF importance draw — key split order matches
+    `render/renderer.py:render_rays` so draws are identical given the same
+    key), but the coarse pass runs the forward-only megakernel (its only role
+    in the guidance loss is importance sampling, which the reference detaches
+    — `run.py:1812`) and the fine pass the custom-VJP megakernel with
+    `fast_bwd`. No remat, no [P*S, 256] HBM activations.
+    """
+    from mvip_tpu.ops.pallas_sampling import sample_pdf_pallas
+    from mvip_tpu.ops.sampling import merge_z_vals, sample_pdf, stratified_z_vals
+
+    R = rays_o.shape[0]
+    if key is None:
+        k_strat = k_noise0 = k_pdf = k_noise1 = None
+    else:
+        k_strat, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
+
+    z = stratified_z_vals(k_strat, R, n_samples, near, far,
+                          lindisp=lindisp, perturb=perturb)
+    noise0 = (
+        jax.random.normal(k_noise0, (R, n_samples)) * raw_noise_std
+        if raw_noise_std > 0 else None
+    )
+    pc = jax.lax.stop_gradient(params_coarse)
+    coarse = fused_render_mlp(pc, cfg, rays_o, rays_d, z,
+                              white_bkgd=white_bkgd, block_rays=block_rays,
+                              interpret=interpret, noise=noise0)
+    z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+    w_mid = jax.lax.stop_gradient(coarse["weights"][:, 1:-1])
+    if interpret:
+        z_fine = sample_pdf(z_mid, w_mid, n_importance, key=k_pdf,
+                            det=(perturb == 0.0))
+    else:
+        z_fine = sample_pdf_pallas(z_mid, w_mid, n_importance, key=k_pdf,
+                                   det=(perturb == 0.0))
+    z_all = merge_z_vals(z, jax.lax.stop_gradient(z_fine))
+    S_all = n_samples + n_importance
+    noise1 = (
+        jax.random.normal(k_noise1, (R, S_all)) * raw_noise_std
+        if raw_noise_std > 0 else None
+    )
+    out = fused_train_render(params_fine, cfg, rays_o, rays_d, z_all,
+                             white_bkgd=white_bkgd, block_rays=block_rays,
+                             interpret=interpret, fast_bwd=True, noise=noise1)
+    return out

@@ -515,7 +515,14 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         if step_stride > 1:
             # a scan dispatch always runs step_stride steps; round the budget
             # up to a whole number of dispatches (documented in config.py)
-            n_iters = -(-n_iters // step_stride) * step_stride
+            rounded = -(-n_iters // step_stride) * step_stride
+            if rounded != n_iters:
+                print(
+                    f"[train] megastep={step_stride} rounds the iteration "
+                    f"budget up: {n_iters} -> {rounded} optimizer steps "
+                    f"(schedules derived from N_iters see the extra steps)"
+                )
+            n_iters = rounded
         timer = StepTimer(cfg.N_rand * step_stride)
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)

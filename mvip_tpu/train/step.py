@@ -92,8 +92,18 @@ def _decode_linear(idx: jnp.ndarray, H: int, W: int):
 
 
 def _shard(x, spec=P("data")):
-    """Constrain a batch-dim intermediate to the data mesh axis; no-op when the
-    step is traced outside a mesh context (single-device tests)."""
+    """Constrain a batch-dim intermediate to the data mesh axis. No-op when (a)
+    no mesh is in scope (single-device tests) or (b) tracing inside a shard_map
+    body where the data axis is already Manual (the fused step,
+    `train/fused_step.py`) — with_sharding_constraint would reject manual axes
+    there."""
+    try:
+        from jax._src.mesh import get_abstract_mesh
+
+        if "data" in getattr(get_abstract_mesh(), "manual_axes", ()):
+            return x
+    except Exception:
+        pass  # private-API drift: fall through and let the constraint decide
     try:
         return jax.lax.with_sharding_constraint(x, spec)
     except Exception:  # no mesh in scope -> unconstrained

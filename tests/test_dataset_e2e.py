@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full fits/e2e: excluded from the fast `-m "not slow"` gate
+
 
 def _write_blender_fixture(root, n=3, H=16, W=16):
     import imageio.v2 as imageio

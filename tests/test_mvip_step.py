@@ -88,6 +88,72 @@ def test_mvip_step_all_guidance(key):
     assert any(moved)
 
 
+def test_composite_skips_padded_coords(key):
+    """Padded coord slots (>= masked_counts) must not scatter. Regression: a
+    view with ZERO masked pixels kept the all-zeros pad, which scattered a
+    garbage render into pixel (0,0) of the composite."""
+    from mvip_tpu.train.mvip_step import composite_masked_render
+
+    H, W, P = 8, 10, 6
+    gt = jax.random.uniform(key, (H, W, 3))
+    rgb = jnp.full((P, 3), 9.0)  # sentinel render values
+
+    # zero masked pixels: composite must equal GT exactly (incl. pixel (0,0))
+    coords = jnp.zeros((P, 2), jnp.int32)
+    out = composite_masked_render(gt, coords, jnp.asarray(0), rgb)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(gt))
+
+    # partial mask: first k scatter, pad slots (duplicating coord k-1) do not
+    k = 3
+    coords = coords.at[:k, 0].set(jnp.arange(1, k + 1))  # x = 1,2,3 ; y = 0
+    coords = coords.at[k:].set(coords[k - 1])
+    out = np.array(composite_masked_render(gt, coords, jnp.asarray(k), rgb))
+    assert (out[0, 1:4] == 9.0).all()
+    out[0, 1:4] = np.asarray(gt)[0, 1:4]
+    np.testing.assert_array_equal(out, np.asarray(gt))
+
+    # gradient flows through valid slots only
+    def f(r):
+        return composite_masked_render(gt, coords, jnp.asarray(k), r).sum()
+
+    g = np.asarray(jax.grad(f)(rgb))
+    assert (g[:k].sum(-1) > 0).any() and (g[k:] == 0).all()
+
+
+def test_mvip_step_maskfree_view(key):
+    """End-to-end: a dataset where one view has no masked pixels trains fine."""
+    images, masks, depths, poses, focal = _tiny_scene(n_views=2, H=12, W=14)
+    masks[1] = 0.0  # view 1 is mask-free
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    assert int(streams.masked_counts[1]) == 0
+    H, W = images.shape[1:3]
+    mc = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mc, pts, vd)
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+    ropts = RenderOptions(n_samples=8, n_importance=0, perturb=1.0)
+    scfg = StepConfig(n_rand=16, depth_loss=False, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(is_rgb_guidance=True, is_normal_guidance=False,
+                      is_colla_guidance=False, render_chunk=64)
+    optimizer = make_optimizer(5e-3, 250)
+    step = make_mvip_train_step(
+        scfg, ropts, apply_fn, None, optimizer, mcfg, gm,
+        scfg_sds, scfg_sds, scfg_sds, te, te,
+    )
+    # run enough steps that the random view lands on the mask-free one
+    state = create_train_state({"coarse": init_nerf_mlp(key, mc), "fine": None},
+                               optimizer)
+    for i in range(4):
+        state, metrics = step(state, streams, jax.random.fold_in(key, i),
+                              jnp.asarray(i + 1))
+        assert np.isfinite(float(metrics["loss"]))
+
+
 def test_mvip_step_normal_gating(key):
     """sds_normal contributes 0 before normal_start (reference `nerf/utils.py:298`)."""
     images, masks, depths, poses, focal = _tiny_scene(n_views=2)

@@ -5,9 +5,12 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvip_tpu.config import Config
 from tests.conftest import run_in_cpu_mesh
+
+pytestmark = pytest.mark.slow  # full fits/e2e: excluded from the fast `-m "not slow"` gate
 
 
 def test_emergency_checkpoint_on_crash(tmp_path, monkeypatch):

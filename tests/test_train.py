@@ -14,6 +14,8 @@ from mvip_tpu.render.renderer import RenderOptions
 from mvip_tpu.train.state import create_train_state, make_optimizer
 from mvip_tpu.train.step import DeviceStreams, StepConfig, make_train_step
 
+pytestmark = pytest.mark.slow  # full fits/e2e: excluded from the fast `-m "not slow"` gate
+
 
 def make_synthetic_scene(n_views=3, H=24, W=32, seed=0):
     """Views of a constant-color world with a centered 'mask' square."""
