@@ -123,7 +123,8 @@ def _transformer(p: Params, x, context, heads: int, groups: int):
     y = y + attention(p["attn2"], layer_norm(p["ln2"], y), context=context, heads=heads)
     f = linear(p["ff1"], layer_norm(p["ln3"], y))
     val, gate = jnp.split(f, 2, axis=-1)
-    y = y + linear(p["ff2"], val * jax.nn.gelu(gate))
+    # exact (erf) gelu: diffusers' GEGLU uses F.gelu, not the tanh approximation
+    y = y + linear(p["ff2"], val * jax.nn.gelu(gate, approximate=False))
 
     return conv2d(p["proj_out"], y.reshape(n, h, w, c)) + residual
 

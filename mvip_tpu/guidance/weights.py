@@ -211,7 +211,11 @@ def _import_entry(params, sd: Dict[str, np.ndarray], hf: str, path: Tuple, kind:
         node["b"] = np.asarray(sd[f"{hf}.bias"])
     elif kind == "linear":
         node["w"] = np.transpose(np.asarray(sd[f"{hf}.weight"]))
-        node["b"] = np.asarray(sd[f"{hf}.bias"])
+        # diffusers' UNet attention to_q/to_k/to_v are bias=False; our linear
+        # always carries a bias term — zero it so the math matches exactly
+        b = sd.get(f"{hf}.bias")
+        node["b"] = (np.asarray(b) if b is not None
+                     else np.zeros_like(np.asarray(node["b"])))
     elif kind == "norm":
         node["scale"] = np.asarray(sd[f"{hf}.weight"])
         node["bias"] = np.asarray(sd[f"{hf}.bias"])

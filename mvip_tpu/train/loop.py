@@ -449,7 +449,10 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
 
         use_guidance = needs_guidance(cfg) and cfg.second_stage
         if use_guidance:
-            from mvip_tpu.train.mvip_step import make_mvip_train_step
+            from mvip_tpu.train.mvip_step import (
+                fused_guidance_supported,
+                make_mvip_train_step,
+            )
 
             gm, mcfg, (s_rgb, s_nrm, s_col), pair_rgb, pair_nrm = build_guidance(cfg)
             if not cfg.sd_weights:
@@ -458,9 +461,16 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     "random-init diffusion stack (pipeline smoke mode, no "
                     "semantic guidance)"
                 )
+            fused_mlp_cfg = None
+            if cfg.use_pallas and mesh.size == 1 and fused_guidance_supported(
+                exp.ropts, exp.backbone, exp.model_cfg
+            ):
+                fused_mlp_cfg = exp.model_cfg
+                phase("guidance renders on fused Pallas megakernels")
             train_step = make_mvip_train_step(
                 exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply, optimizer,
                 mcfg, gm, s_rgb, s_nrm, s_col, pair_rgb, pair_nrm,
+                fused_mlp_cfg=fused_mlp_cfg,
             )
             if int(cfg.megastep) > 1:
                 log_fn(

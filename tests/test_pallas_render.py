@@ -121,3 +121,49 @@ def test_fused_train_render_grad_parity(key):
             lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)),
             gfa, gr)
         assert max(jax.tree_util.tree_leaves(rel)) < 3e-2
+
+
+def test_fused_hier_train_render_grad_parity(key):
+    """Stochastic hierarchical guided render (the guidance-loss hot path) ==
+    the XLA render_rays under identical RNG draws: outputs and fine-params
+    gradients match; coarse params get (exactly) zero gradient both ways."""
+    from mvip_tpu.ops.pallas_render_grad import fused_train_hier_render
+
+    cfg, params_c, ro, rd, _ = _setup(key, n_rays=32, n_samples=8)
+    params_f = init_nerf_mlp(jax.random.fold_in(key, 7), cfg)
+    tgt = jax.random.uniform(jax.random.fold_in(key, 9), (32, 3))
+    interpret = jax.devices()[0].platform != "tpu"
+    k_render = jax.random.fold_in(key, 11)
+
+    def loss_fused(pf):
+        o = fused_train_hier_render(
+            k_render, params_c, pf, cfg, ro, rd, 2.0, 6.0, 8, 8,
+            perturb=1.0, raw_noise_std=1.0, white_bkgd=True,
+            interpret=interpret,
+        )
+        return (jnp.mean((o["rgb"] - tgt) ** 2) + 0.05 * jnp.mean(o["depth"])
+                + 0.1 * jnp.mean(o["disp"]))
+
+    opts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
+                         raw_noise_std=1.0, white_bkgd=True, use_pallas=False)
+
+    def loss_ref(both):
+        pc, pf = both
+        o = render_rays(k_render, ro, rd, 2.0, 6.0,
+                        lambda pts, vd: apply_nerf_mlp(pc, cfg, pts, vd),
+                        lambda pts, vd: apply_nerf_mlp(pf, cfg, pts, vd),
+                        opts)
+        return (jnp.mean((o["rgb"] - tgt) ** 2) + 0.05 * jnp.mean(o["depth"])
+                + 0.1 * jnp.mean(o["disp"]))
+
+    lf, gf = jax.value_and_grad(loss_fused)(params_f)
+    lr, (gr_c, gr_f) = jax.value_and_grad(loss_ref)((params_c, params_f))
+    # identical RNG draws -> same loss up to kernel numerics
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-4)
+    # coarse gets no gradient in the guidance loss (importance z detached)
+    assert max(float(jnp.abs(g).max())
+               for g in jax.tree_util.tree_leaves(gr_c)) == 0.0
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)),
+        gf, gr_f)
+    assert max(jax.tree_util.tree_leaves(rel)) < 3e-2
