@@ -1,0 +1,284 @@
+"""Transposed (points-on-lanes) Pallas hash-grid encoder.
+
+Second-generation TPU redesign of the tcnn HashGrid kernel pair
+(`DS_NeRF/run_nerf_helpers_tcnn.py:36-47`). The first fused kernel
+(`ops/pallas_hashgrid.py`) spends ~2/3 of its wall-clock in [B, 8]-shaped
+index math (6% lane utilization) and per-row `dynamic_gather` lane selects
+(measured stage ablation in ROADMAP.md). This layout transposes the whole
+problem so every stage runs wide:
+
+  * positions arrive TRANSPOSED: three [1, B] lane rows (x, y, z) per block —
+    per-corner index math is [1, B] full-lane VPU work, with the 8 corner
+    offsets as static Python constants (no [B, 8] narrow arrays at all);
+  * the one-hot is generated TRANSPOSED, [BT, B] (block-row iota on sublanes
+    vs hi broadcast on lanes), feeding the gather matmul
+    tblT [128, BT] @ onehotT [BT, B] -> rows [128, B] — identical MXU flops
+    to the first kernel, zero layout changes anywhere;
+  * the table is pre-arranged FEATURE-MAJOR (lane j = f*RE + e), so selecting
+    feature f of entry `lo` is a static contiguous sublane slice
+    rows[f*RE:(f+1)*RE] followed by a masked sublane-sum — no dynamic_gather;
+  * outputs stay transposed, [L*F, N] (features on sublanes, points on
+    lanes) — exactly the layout a transposed tiny-MLP consumer wants; the
+    standalone wrapper transposes back to [N, L*F] in XLA (one cheap
+    relayout at the boundary instead of thousands inside the kernel).
+
+The backward table kernel is the same trick run in reverse: the weighted
+cotangent is spread onto feature-major sublanes ([128, B]) and
+scatter-accumulated by the transposed one-hot matmul
+grow [128, B] @ onehotT^T -> [128, BT] into a VMEM-resident accumulator.
+
+Hashing/trilinear semantics are bit-identical to `hashgrid_encode` /
+`hashgrid_encode_fused` (shared corner rule incl. the res-1 floor clamp);
+oracle tests compare all three.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mvip_tpu.ops.pallas_hashgrid import _PRIMES_I32
+
+MAX_FUSED_LOG2_T = 16
+
+
+def _corner_math_t(xs, ys, zs, res, c):
+    """One corner's (hi-input) index + trilinear weight, all [1, B] lane rows.
+
+    `c` is a static Python int 0..7; (ox, oy, oz) = bits of c. Same floor
+    clamp / dense-vs-hash rule as `pallas_hashgrid._corner_geometry` /
+    `_corner_indices`."""
+    ox, oy, oz = (c >> 2) & 1, (c >> 1) & 1, c & 1
+    rf = res.astype(jnp.float32)
+    out_idx = []
+    w = None
+    for (v, o) in ((xs, ox), (ys, oy), (zs, oz)):
+        pos = v * rf
+        ip = jnp.minimum(jnp.floor(pos).astype(jnp.int32), res - 1)
+        frac = pos - ip.astype(jnp.float32)
+        out_idx.append(ip + o)
+        wd = frac if o else 1.0 - frac
+        w = wd if w is None else w * wd
+    return out_idx, w
+
+
+def _corner_index_t(cxyz, res, use_dense, T):
+    cx, cy, cz = cxyz
+    res1 = res + 1
+    dense_idx = (cx * res1 + cy) * res1 + cz
+    h = cx * _PRIMES_I32[0] ^ cy * _PRIMES_I32[1] ^ cz * _PRIMES_I32[2]
+    return jnp.where(use_dense > 0, dense_idx & (T - 1), h & (T - 1))
+
+
+def _fwd_kernel_t(res_ref, dense_ref, x_ref, tbl_ref, out_ref, *, T, F, RE, BT,
+                  compute_dtype):
+    lvl = pl.program_id(0)
+    res = res_ref[lvl]
+    use_dense = dense_ref[lvl]
+    x = x_ref[:]                      # [3, B]
+    xs, ys, zs = x[0:1], x[1:2], x[2:3]
+    B = x.shape[1]
+    tblT = tbl_ref[0]                 # [128, BT] feature-major lane rows
+
+    sub_bt = jax.lax.broadcasted_iota(jnp.int32, (BT, B), 0)
+    sub_re = jax.lax.broadcasted_iota(jnp.int32, (RE, B), 0)
+    shift = RE.bit_length() - 1       # RE = 128/F is a power of two
+
+    acc = [jnp.zeros((1, B), jnp.float32) for _ in range(F)]
+    for c in range(8):
+        cxyz, w = _corner_math_t(xs, ys, zs, res, c)
+        idx = _corner_index_t(cxyz, res, use_dense, T)      # [1, B]
+        hi, lo = idx >> shift, idx & (RE - 1)
+        onehotT = (sub_bt == hi).astype(compute_dtype)      # [BT, B]
+        rows = jax.lax.dot_general(
+            tblT.astype(compute_dtype), onehotT,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [128, B]
+        sel = (sub_re == lo).astype(jnp.float32)             # [RE, B]
+        for f in range(F):
+            feat = jnp.sum(rows[f * RE:(f + 1) * RE] * sel, 0, keepdims=True)
+            acc[f] = acc[f] + w * feat
+
+    for f in range(F):
+        out_ref[0, f:f + 1] = acc[f]
+
+
+def _bwd_table_kernel_t(res_ref, dense_ref, x_ref, g_ref, out_ref, *, T, F, RE,
+                        BT, compute_dtype):
+    lvl = pl.program_id(0)
+    blk = pl.program_id(1)
+    res = res_ref[lvl]
+    use_dense = dense_ref[lvl]
+    x = x_ref[:]
+    xs, ys, zs = x[0:1], x[1:2], x[2:3]
+    B = x.shape[1]
+    g = g_ref[0]                       # [F, B] cotangents (transposed)
+
+    sub_bt = jax.lax.broadcasted_iota(jnp.int32, (BT, B), 0)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, B), 0)
+    shift = RE.bit_length() - 1
+
+    acc = jnp.zeros((128, BT), jnp.float32)
+    for c in range(8):
+        cxyz, w = _corner_math_t(xs, ys, zs, res, c)
+        idx = _corner_index_t(cxyz, res, use_dense, T)
+        hi, lo = idx >> shift, idx & (RE - 1)
+        # weighted cotangent spread onto feature-major sublanes: [128, B]
+        grow = jnp.zeros((128, B), jnp.float32)
+        for f in range(F):
+            grow = grow + jnp.where(
+                sub128 == f * RE + lo, w * g[f:f + 1], 0.0
+            )
+        onehotT = (sub_bt == hi).astype(compute_dtype)       # [BT, B]
+        acc = acc + jax.lax.dot_general(
+            grow.astype(compute_dtype), onehotT,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [128, BT]
+
+    @pl.when(blk == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] = out_ref[0] + acc
+
+
+def _pad_cols(a, block):
+    n = a.shape[-1]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+        )
+    return a, nb, pad
+
+
+def table_to_lanes(table):
+    """[L, T, F] -> feature-major transposed lane blocks [L, 128, BT].
+
+    Lane row j = f*RE + e holds feature f of the e-th entry in each block row
+    (RE = 128//F entries per block row, BT = T//RE block rows)."""
+    L, T, F = table.shape
+    RE = 128 // F
+    t = table.reshape(L, T // RE, RE, F)          # [L, BT, RE, F]
+    return jnp.transpose(t, (0, 3, 2, 1)).reshape(L, 128, T // RE)
+
+
+def lanes_to_table(tblT, T, F):
+    """Inverse of `table_to_lanes` (used for the table-gradient layout)."""
+    L = tblT.shape[0]
+    RE = 128 // F
+    t = tblT.reshape(L, F, RE, T // RE)
+    return jnp.transpose(t, (0, 3, 2, 1)).reshape(L, T, F)
+
+
+def _specs_t(B, BT, L, F):
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    x_spec = pl.BlockSpec((3, B), lambda l, b: (0, b), memory_space=pltpu.VMEM)
+    tbl_spec = pl.BlockSpec((1, 128, BT), lambda l, b: (l, 0, 0),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, F, B), lambda l, b: (l, 0, b),
+                          memory_space=pltpu.VMEM)
+    return smem, x_spec, tbl_spec, g_spec
+
+
+@partial(jax.jit, static_argnames=("table_size", "block", "compute_dtype",
+                                   "interpret"))
+def _encode_fwd_t(table, x, res_arr, dense_arr, *, table_size, block,
+                  compute_dtype, interpret):
+    L, T, F = table.shape
+    if 128 % F:
+        raise ValueError(f"n_features={F} must divide 128 for the fused path")
+    RE = 128 // F
+    BT = T // RE
+    tblT = table_to_lanes(table)
+    xT, NB, _ = _pad_cols(x.T, block)              # [3, NB*block]
+    smem, x_spec, tbl_spec, g_spec = _specs_t(block, BT, L, F)
+    out = pl.pallas_call(
+        partial(_fwd_kernel_t, T=T, F=F, RE=RE, BT=BT,
+                compute_dtype=jnp.dtype(compute_dtype)),
+        grid=(L, NB),
+        in_specs=[smem, smem, x_spec, tbl_spec],
+        out_specs=g_spec,
+        out_shape=jax.ShapeDtypeStruct((L, F, NB * block), jnp.float32),
+        interpret=interpret,
+    )(res_arr, dense_arr, xT, tblT)
+    N = x.shape[0]
+    # [L, F, N] -> [N, L*F] (the one boundary relayout, done by XLA)
+    return jnp.transpose(out[..., :N], (2, 0, 1)).reshape(N, L * F)
+
+
+@partial(jax.jit, static_argnames=("L", "F", "table_size", "block",
+                                   "compute_dtype", "interpret"))
+def _encode_bwd_table_t(x, g, res_arr, dense_arr, *, L, F, table_size, block,
+                        compute_dtype, interpret):
+    T = table_size
+    RE = 128 // F
+    BT = T // RE
+    xT, NB, _ = _pad_cols(x.T, block)
+    # g [N, L*F] -> [L, F, N] (padded cols get zero cotangent: no grads)
+    gT = jnp.transpose(g.reshape(g.shape[0], L, F), (1, 2, 0))
+    gT, _, _ = _pad_cols(gT, block)
+    smem, x_spec, tbl_spec, g_spec = _specs_t(block, BT, L, F)
+    out = pl.pallas_call(
+        partial(_bwd_table_kernel_t, T=T, F=F, RE=RE, BT=BT,
+                compute_dtype=jnp.dtype(compute_dtype)),
+        grid=(L, NB),
+        in_specs=[smem, smem, x_spec, g_spec],
+        out_specs=tbl_spec,
+        out_shape=jax.ShapeDtypeStruct((L, 128, BT), jnp.float32),
+        interpret=interpret,
+    )(res_arr, dense_arr, xT, gT)
+    return lanes_to_table(out, T, F)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def hashgrid_encode_fused_t(table, x, res_arr, dense_arr, table_size,
+                            block=1024, compute_dtype="float32",
+                            interpret=False):
+    """Transposed fused-MXU hash-grid encode: x [N, 3] in [0,1] -> [N, L*F].
+
+    Drop-in for `hashgrid_encode_fused` (same hashing/trilinear semantics);
+    see the module docstring for why this layout is faster."""
+    return _encode_fwd_t(table, x, res_arr, dense_arr, table_size=table_size,
+                         block=block, compute_dtype=compute_dtype,
+                         interpret=interpret)
+
+
+def _fused_t_fwd(table, x, res_arr, dense_arr, table_size, block,
+                 compute_dtype, interpret):
+    out = _encode_fwd_t(table, x, res_arr, dense_arr, table_size=table_size,
+                        block=block, compute_dtype=compute_dtype,
+                        interpret=interpret)
+    return out, (table, x, res_arr, dense_arr)
+
+
+def _fused_t_bwd(table_size, block, compute_dtype, interpret, res, g):
+    table, x, res_arr, dense_arr = res
+    L, T, F = table.shape
+    d_table = _encode_bwd_table_t(x, g, res_arr, dense_arr, L=L, F=F,
+                                  table_size=table_size, block=block,
+                                  compute_dtype=compute_dtype,
+                                  interpret=interpret)
+    # position gradient via the XLA encode's VJP (gather-only; DCE'd in the
+    # train step where positions carry no parameter dependence) — same
+    # argument as pallas_hashgrid._fused_bwd
+    from mvip_tpu.models.nerf_hashgrid import hashgrid_encode
+
+    _, vjp_x = jax.vjp(
+        lambda xx: hashgrid_encode(
+            table, xx, res_arr, table_size, dense_arr.astype(jnp.bool_)
+        ),
+        x,
+    )
+    d_x = vjp_x(g)[0]
+    return d_table.astype(table.dtype), d_x.astype(x.dtype), None, None
+
+
+hashgrid_encode_fused_t.defvjp(_fused_t_fwd, _fused_t_bwd)

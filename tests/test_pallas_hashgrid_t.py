@@ -1,0 +1,77 @@
+"""Transposed (points-on-lanes) fused encode vs the XLA oracle.
+
+Same kernel-vs-oracle pattern as tests/test_pallas_hashgrid.py, for
+`ops/pallas_hashgrid_t.py`: forward and table/position gradients must match
+`models.nerf_hashgrid.hashgrid_encode` (interpret mode here; compiled-TPU
+parity in bench runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvip_tpu.models.nerf_hashgrid import hashgrid_encode
+from mvip_tpu.ops.pallas_hashgrid_t import (
+    hashgrid_encode_fused_t,
+    lanes_to_table,
+    table_to_lanes,
+)
+from tests.test_pallas_hashgrid import _setup
+
+
+def test_table_lane_layout_roundtrip():
+    table, _, _, _, T = _setup()
+    t2 = lanes_to_table(table_to_lanes(table), T, table.shape[2])
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(table))
+
+
+@pytest.mark.parametrize("N", [256, 700])  # 700: exercises block padding
+@pytest.mark.parametrize("F", [2, 4])
+def test_transposed_forward_matches_xla(N, F):
+    table, x, res_arr, dense, T = _setup(N=N, F=F)
+    ref = hashgrid_encode(table, x, res_arr, T, dense)
+    out = hashgrid_encode_fused_t(
+        table, x, res_arr, dense.astype(jnp.int32), T, block=256,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_transposed_grads_match_xla():
+    table, x, res_arr, dense, T = _setup(N=512)
+    g = jax.random.normal(jax.random.PRNGKey(7), (512, table.shape[0] * 2))
+
+    def loss_x(t, xx):
+        return jnp.sum(hashgrid_encode(t, xx, res_arr, T, dense) * g)
+
+    def loss_p(t, xx):
+        return jnp.sum(
+            hashgrid_encode_fused_t(
+                t, xx, res_arr, dense.astype(jnp.int32), T, block=256,
+                interpret=True,
+            )
+            * g
+        )
+
+    gt_x, gx_x = jax.grad(loss_x, (0, 1))(table, x)
+    gt_p, gx_p = jax.grad(loss_p, (0, 1))(table, x)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gx_p), np.asarray(gx_x), rtol=1e-4, atol=1e-2
+    )
+
+
+def test_transposed_matches_first_gen():
+    """Both fused kernels implement the same semantics bit-for-bit-ish."""
+    from mvip_tpu.ops.pallas_hashgrid import hashgrid_encode_fused
+
+    table, x, res_arr, dense, T = _setup(N=384)
+    a = hashgrid_encode_fused(
+        table, x, res_arr, dense.astype(jnp.int32), T, block=128,
+        interpret=True,
+    )
+    b = hashgrid_encode_fused_t(
+        table, x, res_arr, dense.astype(jnp.int32), T, block=256,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
