@@ -173,6 +173,49 @@ def bench_mlp_fused() -> float:
     return ITERS * N_RAND / dt
 
 
+def bench_hash_fused_step() -> float:
+    """Fused hash-grid train step (ops/pallas_hash_train.py): transposed
+    encode -> in-kernel MLP/composite/loss/backward -> table-grad kernel,
+    per model pass; no jax.grad."""
+    import jax
+
+    from mvip_tpu.data.rays import build_ray_streams
+    from mvip_tpu.models.nerf_hashgrid import HashGridConfig, init_hashgrid_nerf
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.fused_step import make_fused_train_step
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import DeviceStreams, StepConfig
+
+    images, masks, depths, poses, focal = _scene()
+    streams = build_ray_streams(images, masks, depths, poses, focal)
+    H, W = images.shape[1:3]
+    hcfg = HashGridConfig(log2_table_size=15, fused=True)
+    params = {
+        "coarse": init_hashgrid_nerf(jax.random.PRNGKey(1), hcfg),
+        "fine": init_hashgrid_nerf(jax.random.PRNGKey(2), hcfg),
+    }
+    ropts = RenderOptions(n_samples=N_SAMPLES, n_importance=N_IMPORTANCE,
+                          perturb=1.0, lindisp=True, raw_noise_std=1.0,
+                          white_bkgd=True)
+    scfg = StepConfig(n_rand=N_RAND, depth_loss=True, depth_lambda=0.1,
+                      near=1.2, far=7.7, H=H, W=W, focal=focal)
+    optimizer = make_optimizer(3e-3, 10)
+    state = create_train_state(params, optimizer)
+    step = make_fused_train_step(scfg, ropts, hcfg, optimizer)
+    ds = DeviceStreams.from_host(streams)
+
+    key = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        state, metrics = step(state, ds, jax.random.fold_in(key, i))
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, ds, jax.random.fold_in(key, WARMUP + i))
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return ITERS * N_RAND / dt
+
+
 def bench_mlp_scan(n_inner: int = 10) -> float:
     """Megastep variant: n_inner steps per dispatch via lax.scan — measures the
     device-side step rate with host dispatch amortized (same per-step math)."""
@@ -228,6 +271,7 @@ def main():
     # the fused encode is TPU-only (_fused_available); off-TPU this would
     # silently measure the XLA fallback under the "fused" label
     hash_fused_rate = bench_backbone("hashgrid_fused") if on_tpu else 0.0
+    hash_fused_step_rate = bench_hash_fused_step() if on_tpu else 0.0
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -251,6 +295,7 @@ def main():
         "triplane_rays_per_sec": round(tri_rate, 1),
         "hashgrid_rays_per_sec": round(hash_rate, 1),
         "hashgrid_fused_rays_per_sec": round(hash_fused_rate, 1),
+        "hashgrid_fused_step_rays_per_sec": round(hash_fused_step_rate, 1),
         "baseline_torch_cpu_rays_per_sec": baseline,
     }
     print(json.dumps(result))

@@ -47,6 +47,125 @@ from mvip_tpu.ops.pallas_render import _flatten_params
 from mvip_tpu.ops.pallas_render_grad import _forward_mlp, _unflatten_params
 
 
+def composite_fwd(z, rd, sigma, c, white_bkgd: bool):
+    """In-kernel compositing forward (raw2outputs semantics).
+
+    sigma [R, S] post-relu, c [R, S, 3] post-sigmoid. Returns the dict of
+    per-ray maps plus the residues the backward needs. The exclusive
+    transmittance cumsum runs as a HIGHEST-precision triangular MXU matmul
+    (Mosaic has no cumsum; default precision loses ~1e-3 here)."""
+    R, S = z.shape
+    norm_rd = jnp.sqrt(jnp.sum(rd * rd, -1, keepdims=True))
+    dists = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full((R, 1), 1e10, z.dtype)], -1
+    ) * norm_rd
+    alpha = 1.0 - jnp.exp(-sigma * dists)
+    one_m = jnp.clip(1.0 - alpha, 1e-10, 1.0)
+    log_t = jnp.log(one_m)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    tri_excl = (ki < ji).astype(log_t.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    T = jnp.exp(jax.lax.dot_general(
+        log_t, tri_excl, (((1,), (0,)), ((), ())), precision=hp,
+        preferred_element_type=jnp.float32))
+    w = alpha * T
+    rgb_map = jnp.sum(w[..., None] * c, 1)                  # [R, 3]
+    depth = jnp.sum(w * z, 1)
+    acc = jnp.sum(w, 1)
+    mean_d = depth / jnp.maximum(acc, 1e-10)
+    disp = jnp.where(acc > 1e-8, 1.0 / jnp.maximum(1e-10, mean_d), 0.0)
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc[:, None])
+    resid = dict(dists=dists, alpha=alpha, one_m=one_m, T=T, ki=ki, ji=ji)
+    return dict(rgb=rgb_map, depth=depth, acc=acc, disp=disp, mean_d=mean_d,
+                weights=w), resid
+
+
+def composite_bwd(z, w, c, sigma_noisy, out, resid, g_rgb, g_disp, g_depth,
+                  g_acc, white_bkgd: bool):
+    """Compositing backward: output cotangents -> (d sigma_raw, d rgb_raw).
+
+    Math verified bit-exact against jax.grad of the XLA renderer
+    (tests/test_pallas_render.py). `sigma_noisy` is the pre-relu noisy sigma
+    (relu mask applies there, `ops/compositing.render_weights`)."""
+    depth, acc = out["depth"], out["acc"]
+    active = (acc > 1e-8) & (out["mean_d"] > 1e-10)
+    g_depth = g_depth + jnp.where(
+        active, -g_disp * acc / jnp.maximum(depth * depth, 1e-20), 0.0
+    )
+    g_acc = g_acc + jnp.where(active, g_disp / jnp.maximum(depth, 1e-10), 0.0)
+    if white_bkgd:
+        g_acc = g_acc - jnp.sum(g_rgb, -1)
+
+    wbar = (
+        jnp.sum(g_rgb[:, None, :] * c, -1)
+        + g_depth[:, None] * z
+        + g_acc[:, None]
+    )
+    hp = jax.lax.Precision.HIGHEST
+    tri_suffix = (resid["ki"] > resid["ji"]).astype(z.dtype)
+    suffix = jax.lax.dot_general(
+        wbar * w, tri_suffix, (((1,), (0,)), ((), ())), precision=hp,
+        preferred_element_type=jnp.float32)
+    alphabar = wbar * resid["T"] - suffix / resid["one_m"]
+    sigmabar = alphabar * resid["dists"] * (1.0 - resid["alpha"])
+    sigmabar = sigmabar * (sigma_noisy > 0)                  # relu at noisy sigma
+    cbar = w[..., None] * g_rgb[:, None, :] * c * (1.0 - c)
+    return sigmabar, cbar
+
+
+def mse_loss_cotangents(out, trgb, tdisp, tdepth, s_rgb, s_disp, s_depth):
+    """Per-ray scaled-MSE loss terms and the output cotangents they induce
+    (see module docstring for the scale-array loss surface)."""
+    d_rgb = out["rgb"] - trgb                                # [R, 3]
+    d_disp = out["disp"] - tdisp
+    d_depth = out["depth"] - tdepth
+    l_rgb = s_rgb * jnp.sum(d_rgb * d_rgb, -1)               # [R]
+    l_disp = s_disp * d_disp * d_disp
+    l_depth = s_depth * d_depth * d_depth
+    g_rgb = 2.0 * s_rgb[:, None] * d_rgb                     # [R, 3]
+    g_disp = 2.0 * s_disp * d_disp
+    g_depth = 2.0 * s_depth * d_depth
+    return (l_rgb, l_disp, l_depth), (g_rgb, g_disp, g_depth)
+
+
+def loss_lanes_sum(l_rgb, l_disp, l_depth, R):
+    """Block loss totals into lanes 0..2 of a [1, 128] vector (Mosaic aborts
+    on 0-d scalar reductions)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    lvec = (
+        jnp.where(lane == 0, l_rgb[:, None], 0.0)
+        + jnp.where(lane == 1, l_disp[:, None], 0.0)
+        + jnp.where(lane == 2, l_depth[:, None], 0.0)
+    )
+    return jnp.sum(lvec, 0, keepdims=True)                   # [1, 128]
+
+
+def accum_ref(ref, val, first):
+    """Initialize-or-accumulate an output ref across sequential grid steps."""
+    @pl.when(first)
+    def _():
+        ref[:] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[:] = ref[:] + val
+
+
+def dense_bwd_prec(p, h_in, g_out, precision=None):
+    """Dense-layer backward: (dW, db, d_input). DEFAULT matmul precision
+    matches XLA autodiff; HIGHEST costs ~3x MXU throughput."""
+    g_w = jax.lax.dot_general(h_in, g_out, (((0,), (0,)), ((), ())),
+                              precision=precision,
+                              preferred_element_type=jnp.float32)
+    g_b = jnp.sum(g_out, 0)
+    g_in = jax.lax.dot_general(g_out, p["w"], (((1,), (1,)), ((), ())),
+                               precision=precision,
+                               preferred_element_type=jnp.float32)
+    return g_w, g_b, g_in
+
+
 def _train_kernel(ro_ref, rd_ref, z_ref, noise_ref, trgb_ref, tdisp_ref,
                   tdepth_ref, srgb_ref, sdisp_ref, sdepth_ref, *refs,
                   cfg: NeRFMLPConfig, white_bkgd: bool, names, n_params: int):
@@ -74,74 +193,20 @@ def _train_kernel(ro_ref, rd_ref, z_ref, noise_ref, trgb_ref, tdisp_ref,
     sigma = jax.nn.relu(sigma_noisy)
     c = jax.nn.sigmoid(rgb_raw).reshape(R, S, 3)
 
-    # ---- compositing forward (raw2outputs semantics) ----
-    norm_rd = jnp.sqrt(jnp.sum(rd * rd, -1, keepdims=True))
-    dists = jnp.concatenate(
-        [z[:, 1:] - z[:, :-1], jnp.full((R, 1), 1e10, z.dtype)], -1
-    ) * norm_rd
-    alpha = 1.0 - jnp.exp(-sigma * dists)
-    one_m = jnp.clip(1.0 - alpha, 1e-10, 1.0)
-    log_t = jnp.log(one_m)
-    ki = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    ji = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    tri_excl = (ki < ji).astype(log_t.dtype)
-    hp = jax.lax.Precision.HIGHEST
-    T = jnp.exp(jax.lax.dot_general(
-        log_t, tri_excl, (((1,), (0,)), ((), ())), precision=hp,
-        preferred_element_type=jnp.float32))
-    w = alpha * T
-    rgb_map = jnp.sum(w[..., None] * c, 1)                  # [R, 3]
-    depth = jnp.sum(w * z, 1)
-    acc = jnp.sum(w, 1)
-    mean_d = depth / jnp.maximum(acc, 1e-10)
-    disp = jnp.where(acc > 1e-8, 1.0 / jnp.maximum(1e-10, mean_d), 0.0)
-    if white_bkgd:
-        rgb_map = rgb_map + (1.0 - acc[:, None])
+    out, resid = composite_fwd(z, rd, sigma, c, white_bkgd)
+    w = out["weights"]
 
-    # ---- per-ray loss terms and output cotangents ----
     s_rgb = srgb_ref[:, 0]       # [R]
     s_disp = sdisp_ref[:, 0]
     s_depth = sdepth_ref[:, 0]
-    d_rgb = rgb_map - trgb_ref[:]                            # [R, 3]
-    d_disp = disp - tdisp_ref[:, 0]                          # [R]
-    d_depth = depth - tdepth_ref[:, 0]
-
-    # per-ray loss terms; the block totals land in lanes 0..2 of a [1, 128]
-    # vector via a full-width sublane reduce (Mosaic aborts on 0-d scalar
-    # reductions)
-    l_rgb = s_rgb * jnp.sum(d_rgb * d_rgb, -1)               # [R]
-    l_disp = s_disp * d_disp * d_disp
-    l_depth = s_depth * d_depth * d_depth
-
-    g_rgb = 2.0 * s_rgb[:, None] * d_rgb                     # [R, 3]
-    g_disp = 2.0 * s_disp * d_disp                           # [R]
-    g_depth = 2.0 * s_depth * d_depth
-    g_acc = jnp.zeros_like(g_depth)
-
-    # ---- cotangent couplings (disp -> depth/acc; white bkgd -> acc) ----
-    active = (acc > 1e-8) & (mean_d > 1e-10)
-    g_depth = g_depth + jnp.where(
-        active, -g_disp * acc / jnp.maximum(depth * depth, 1e-20), 0.0
+    (l_rgb, l_disp, l_depth), (g_rgb, g_disp, g_depth) = mse_loss_cotangents(
+        out, trgb_ref[:], tdisp_ref[:, 0], tdepth_ref[:, 0],
+        s_rgb, s_disp, s_depth,
     )
-    g_acc = g_acc + jnp.where(active, g_disp / jnp.maximum(depth, 1e-10), 0.0)
-    if white_bkgd:
-        g_acc = g_acc - jnp.sum(g_rgb, -1)
-
-    # ---- compositing backward (pallas_render_grad._bwd_kernel math) ----
-    wbar = (
-        jnp.sum(g_rgb[:, None, :] * c, -1)
-        + g_depth[:, None] * z
-        + g_acc[:, None]
+    sigmabar, cbar = composite_bwd(
+        z, w, c, sigma_noisy, out, resid, g_rgb, g_disp, g_depth,
+        jnp.zeros_like(g_depth), white_bkgd,
     )
-    tri_suffix = (ki > ji).astype(log_t.dtype)
-    suffix = jax.lax.dot_general(
-        wbar * w, tri_suffix, (((1,), (0,)), ((), ())), precision=hp,
-        preferred_element_type=jnp.float32)
-    alphabar = wbar * T - suffix / one_m
-    sigmabar = alphabar * dists * (1.0 - alpha)
-    sigmabar = sigmabar * (sigma_noisy > 0)                  # relu at noisy sigma
-    cbar = w[..., None] * g_rgb[:, None, :] * c * (1.0 - c)
-
     g_sigma_raw = sigmabar.reshape(P, 1)
     g_rgb_raw = cbar.reshape(P, 3)
 
@@ -152,24 +217,13 @@ def _train_kernel(ro_ref, rd_ref, z_ref, noise_ref, trgb_ref, tdisp_ref,
         for ref, name in zip(grad_refs, names):
             for part, val in (("w", g_w), ("b", g_b)):
                 if name == name_path + (part,):
-                    @pl.when(first)
-                    def _(ref=ref, val=val):
-                        ref[:] = val
-
-                    @pl.when(jnp.logical_not(first))
-                    def _(ref=ref, val=val):
-                        ref[:] = ref[:] + val
+                    accum_ref(ref, val, first)
 
     def dense_bwd(p, h_in, g_out):
         # DEFAULT matmul precision: XLA's autodiff uses it too, and HIGHEST
         # (6-pass fp32 emulation) costs ~3x MXU throughput — only the tiny
-        # [S, S] compositing triangulars above keep `hp`
-        g_w = jax.lax.dot_general(h_in, g_out, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        g_b = jnp.sum(g_out, 0)
-        g_in = jax.lax.dot_general(g_out, p["w"], (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        return g_w, g_b, g_in
+        # [S, S] compositing triangulars keep HIGHEST (composite_fwd/_bwd)
+        return dense_bwd_prec(p, h_in, g_out)
 
     gw, gb, g_h2 = dense_bwd(params["rgb"], save["h2"], g_rgb_raw)
     accum(("rgb",), gw, gb)
@@ -194,21 +248,7 @@ def _train_kernel(ro_ref, rd_ref, z_ref, noise_ref, trgb_ref, tdisp_ref,
 
     # ---- outputs ----
     weights_ref[:] = w
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-    lvec = (
-        jnp.where(lane == 0, l_rgb[:, None], 0.0)
-        + jnp.where(lane == 1, l_disp[:, None], 0.0)
-        + jnp.where(lane == 2, l_depth[:, None], 0.0)
-    )                                                        # [R, 128]
-    sq = jnp.sum(lvec, 0, keepdims=True)                     # [1, 128]
-
-    @pl.when(first)
-    def _():
-        sq_refs[:] = sq
-
-    @pl.when(jnp.logical_not(first))
-    def _():
-        sq_refs[:] = sq_refs[:] + sq
+    accum_ref(sq_refs, loss_lanes_sum(l_rgb, l_disp, l_depth, R), first)
 
 
 @partial(jax.jit, static_argnames=("cfg", "white_bkgd", "block_rays",

@@ -56,12 +56,22 @@ def fused_step_supported(scfg: StepConfig, ropts: RenderOptions,
         n_dev = n_devices or len(jax.devices())
     except Exception:
         return False
-    pe_ok = mcfg is None or (
-        getattr(mcfg, "multires", 0) > 0 and getattr(mcfg, "multires_views", 0) > 0
-    )  # the kernel's in-VMEM positional encoding assumes PE inputs (i_embed=0)
+    if backbone == "mlp":
+        model_ok = mcfg is None or (
+            getattr(mcfg, "multires", 0) > 0
+            and getattr(mcfg, "multires_views", 0) > 0
+        )  # the kernel's in-VMEM positional encoding assumes PE inputs
+    elif backbone == "hashgrid_fused":
+        from mvip_tpu.ops.pallas_hashgrid_t import MAX_FUSED_LOG2_T
+
+        model_ok = mcfg is not None and (
+            mcfg.log2_table_size <= MAX_FUSED_LOG2_T
+            and 128 % mcfg.n_features == 0
+        )  # the kernel chain in ops/pallas_hash_train.py
+    else:
+        return False
     return (
-        backbone == "mlp"
-        and pe_ok
+        model_ok
         and on_tpu
         and scfg.n_rand % n_dev == 0
         and not scfg.sigma_loss
@@ -84,12 +94,22 @@ def make_fused_train_step(
 ):
     """Build the fused (state, streams, key) -> (state, metrics) step.
 
+    `mcfg` selects the backbone: a NeRFMLPConfig runs the PE-MLP megakernel
+    (`ops/pallas_train.py`); a HashGridConfig runs the three-kernel hash-grid
+    chain (`ops/pallas_hash_train.py`) — same loss surface either way.
+
     With `mesh` (a 1-D data mesh) and n_devices > 1, the kernels run
     per-device under `shard_map`: each device draws a distinct 1/n_devices
     slice of the global ray batch (the key is folded with the device index),
     loss scales carry the GLOBAL normalization, and gradients + loss sums
     all-reduce with `psum` over ICI — the Pallas equivalent of the XLA
     step's sharding-constraint data parallelism."""
+    if isinstance(mcfg, NeRFMLPConfig):
+        render_grads = fused_train_render_grads
+    else:
+        from mvip_tpu.ops.pallas_hash_train import hash_fused_render_grads
+
+        render_grads = hash_fused_render_grads
     n_dev = max(n_devices, 1)
     if scfg.n_rand % n_dev:
         raise ValueError(f"n_rand={scfg.n_rand} not divisible by {n_dev} devices")
@@ -169,7 +189,7 @@ def make_fused_train_step(
             jax.random.normal(k_n0, (R, S)) * ropts.raw_noise_std
             if ropts.raw_noise_std > 0 else jnp.zeros((R, S))
         )
-        m0, g_coarse = fused_train_render_grads(
+        m0, g_coarse = render_grads(
             params["coarse"], mcfg, ro, rd, z, noise0,
             t_rgb, t_disp, t_depth, s_rgb0, zeros_s, zeros_s,
             white_bkgd=ropts.white_bkgd, block_rays=block_rays,
@@ -195,7 +215,7 @@ def make_fused_train_step(
             jax.random.normal(k_n1, (R, S_all)) * ropts.raw_noise_std
             if ropts.raw_noise_std > 0 else jnp.zeros((R, S_all))
         )
-        m1, g_fine = fused_train_render_grads(
+        m1, g_fine = render_grads(
             params["fine"], mcfg, ro, rd, z_all, noise1,
             t_rgb, t_disp, t_depth, s_rgb, s_disp, s_depth,
             white_bkgd=ropts.white_bkgd, block_rays=block_rays,

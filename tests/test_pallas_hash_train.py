@@ -1,0 +1,131 @@
+"""Fused hash-grid training chain (ops/pallas_hash_train.py) vs jax.grad.
+
+Same oracle pattern as tests/test_pallas_train.py: the three-kernel chain
+(transposed encode -> MLP/composite/loss/backward -> table gradient), run in
+interpret mode here, must reproduce the XLA loss and ALL parameter gradients
+(table + sigma/color nets) for identical rays / z / noise / targets / scales.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvip_tpu.models.nerf_hashgrid import (
+    HashGridConfig,
+    apply_hashgrid_nerf,
+    init_hashgrid_nerf,
+)
+from mvip_tpu.ops.compositing import composite
+from mvip_tpu.ops.pallas_hash_train import hash_fused_render_grads
+
+HCFG = HashGridConfig(
+    n_levels=4, log2_table_size=10, base_resolution=4, finest_resolution=64.0,
+    bound=4.0, sigma_hidden=32, color_hidden=32, fused=False, fused_block=256,
+)
+
+
+def _setup(R=24, S=10, seed=0, noise_std=1.0):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 10)
+    params = init_hashgrid_nerf(ks[0], HCFG)
+    # non-trivial table so table grads exercise real trilinear spreading
+    params["table"] = jax.random.uniform(
+        ks[7], params["table"].shape, jnp.float32, -0.05, 0.05
+    )
+    ro = jnp.zeros((R, 3)).at[:, 2].set(3.0)
+    rd = jax.random.normal(ks[1], (R, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(ks[2], (R, S), minval=1.0, maxval=5.0), -1)
+    noise = jax.random.normal(ks[3], (R, S)) * noise_std
+    t_rgb = jax.random.uniform(ks[4], (R, 3))
+    t_disp = jax.random.uniform(ks[5], (R,), minval=0.1, maxval=0.5)
+    t_depth = jax.random.uniform(ks[6], (R,), minval=1.0, maxval=5.0)
+    s_rgb = jnp.where(jnp.arange(R) < 8, 1.0 / 24.0, 0.0)
+    s_disp = jnp.where((jnp.arange(R) >= 8) & (jnp.arange(R) < 16), 0.0125, 0.0)
+    s_depth = jnp.where(jnp.arange(R) >= 16, 0.0125, 0.0)
+    return params, ro, rd, z, noise, t_rgb, t_disp, t_depth, s_rgb, s_disp, s_depth
+
+
+def _xla_loss(params, ro, rd, z, noise, t_rgb, t_disp, t_depth,
+              s_rgb, s_disp, s_depth, white_bkgd):
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    raw = apply_hashgrid_nerf(params, HCFG, pts, vd)
+    out = composite(raw, z, rd, noise=noise, white_bkgd=white_bkgd)
+    return (
+        jnp.sum(s_rgb * jnp.sum((out.rgb - t_rgb) ** 2, -1))
+        + jnp.sum(s_disp * (out.disp - t_disp) ** 2)
+        + jnp.sum(s_depth * (out.depth - t_depth) ** 2)
+    )
+
+
+def test_hash_fused_chain_matches_jax_grad():
+    for white_bkgd in (False, True):
+        args = _setup()
+        params = args[0]
+        metrics, grads = hash_fused_render_grads(
+            params, HCFG, *args[1:], white_bkgd=white_bkgd, block_rays=8,
+            interpret=True,
+        )
+        loss_p = metrics["sq_rgb"] + metrics["sq_disp"] + metrics["sq_depth"]
+        loss_x, grads_x = jax.value_and_grad(_xla_loss)(
+            params, *args[1:], white_bkgd
+        )
+        np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+        assert set(grads) == set(grads_x)
+        flat_p, tdef_p = jax.tree.flatten(grads)
+        flat_x, tdef_x = jax.tree.flatten(grads_x)
+        assert tdef_p == tdef_x
+        scale = max(float(jnp.abs(x).max()) for x in flat_x)
+        for gp, gx in zip(flat_p, flat_x):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), atol=3e-5 * max(scale, 1.0),
+                rtol=2e-4,
+            )
+
+
+def test_hash_fused_weights_match_composite():
+    args = _setup(noise_std=0.0)
+    params, ro, rd, z, noise = args[:5]
+    metrics, _ = hash_fused_render_grads(
+        params, HCFG, *args[1:], block_rays=8, interpret=True
+    )
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    raw = apply_hashgrid_nerf(params, HCFG, pts, vd)
+    out = composite(raw, z, rd, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(metrics["weights"]), np.asarray(out.weights), atol=1e-5
+    )
+
+
+def test_hash_fused_step_trains():
+    """End-to-end fused step on the hash-grid backbone (interpret mode):
+    make_fused_train_step dispatches to the hash kernel chain and the loss
+    decreases on a tiny scene."""
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.fused_step import make_fused_train_step
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import StepConfig
+    from tests.test_pallas_train import _tiny_scene
+
+    streams, ds, _ = _tiny_scene()
+    params = {
+        "coarse": init_hashgrid_nerf(jax.random.PRNGKey(1), HCFG),
+        "fine": init_hashgrid_nerf(jax.random.PRNGKey(2), HCFG),
+    }
+    scfg = StepConfig(n_rand=32, depth_loss=True, depth_lambda=0.1,
+                      near=1.0, far=7.0, H=16, W=16, focal=20.0)
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
+                          raw_noise_std=1.0, white_bkgd=True)
+    optimizer = make_optimizer(3e-3, 10)
+    state = create_train_state(params, optimizer)
+    step = make_fused_train_step(scfg, ropts, HCFG, optimizer, block_rays=16,
+                                 interpret=True)
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(12):
+        state, metrics = step(state, ds, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
