@@ -534,6 +534,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 )
             n_iters = rounded
         timer = StepTimer(cfg.N_rand * step_stride)
+        last_rate = None  # most recent completed 50-step window rate
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
         metrics = None
@@ -565,7 +566,8 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         )
                         vals = np.asarray(jnp.stack([metrics[k] for k in keys_m]))
                         m = dict(zip(keys_m, vals))
-                        rate = timer.tick()
+                        rate = timer.tick() or last_rate
+                        last_rate = rate or last_rate
                         extra = "".join(
                             f" {k.replace('sds_', 'sds:')}={m[k]:.4f}"
                             for k in keys_m if k.startswith("sds_")
@@ -586,7 +588,9 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         metrics_log.write(_json.dumps(rec) + "\n")
                         metrics_log.flush()
                     else:
-                        timer.tick()
+                        # keep completed window rates even when they land
+                        # between print steps (else they'd be discarded)
+                        last_rate = timer.tick() or last_rate
                     if i > start and i % cfg.i_weights < step_stride:
                         ckpt.save(jax.device_get(state))
                         log_fn(f"saved checkpoint at step {int(state.step)}")
