@@ -262,12 +262,15 @@ def apply_hashgrid_nerf(
     resolutions = jnp.asarray(cfg.resolutions, jnp.int32)
     use_dense = dense_levels(cfg.resolutions, cfg.table_size)
     if cfg.fused and _fused_available(cfg):
-        from mvip_tpu.ops.pallas_hashgrid import hashgrid_encode_fused
+        # transposed (points-on-lanes) kernel: 15.0ms fwd / 22.1ms fwd+bwd at
+        # the canonical 131k-pt load vs 33.6/43.0 for the first-gen layout and
+        # 251ms for XLA (tools/bench_encode.py, one v5e, T=2^15)
+        from mvip_tpu.ops.pallas_hashgrid_t import hashgrid_encode_fused_t
 
-        enc = hashgrid_encode_fused(
+        enc = hashgrid_encode_fused_t(
             params["table"].astype(jnp.float32), x01, resolutions,
             use_dense.astype(jnp.int32), cfg.table_size,
-            block=cfg.fused_block, compute_dtype=cfg.fused_dtype,
+            block=max(cfg.fused_block, 1024), compute_dtype=cfg.fused_dtype,
         )
     else:
         enc = hashgrid_encode(

@@ -1,0 +1,472 @@
+"""Differentiable fused RENDER for the hash-grid backbone (guidance hot path).
+
+The MVIP guidance losses (`train/mvip_step.py`, reference `run.py:862-975`)
+render whole masked views per step and backprop an SDS cotangent through the
+render. For the PE-MLP backbone that path runs on
+`pallas_render_grad.fused_train_render`; this module is the hash-grid
+equivalent (VERDICT r1 next-step #3: "the task-2 kernel for the hash grid"):
+
+  forward:  transposed encode kernel -> `_hash_render_kernel`
+            (sigma net -> SH color net -> compositing, VMEM-resident)
+  backward: `_hash_render_bwd_kernel` recomputes the MLP forward from the
+            SAVED encode features (so the expensive encode is NOT re-run),
+            backprops compositing + nets to (net grads, d_enc), then the
+            transposed table-gradient kernel turns d_enc into d_table.
+
+Differentiable w.r.t. table + net params ONLY (rays/z/noise get zero
+cotangents — importance depths are detached in the train step, reference
+`run.py:1812`). Network math is shared with `pallas_hash_train` through the
+same layer conventions; compositing fwd/bwd comes from `pallas_train`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mvip_tpu.ops.pallas_hash_train import (
+    _flatten_nets,
+    _grad_shapes,
+    _unflatten_nets,
+    names_grads,
+)
+from mvip_tpu.ops.pallas_train import (
+    accum_ref,
+    composite_bwd,
+    composite_fwd,
+    dense_bwd_prec,
+)
+
+
+def _nets_forward(nets, enc, sh_p, geo_dim, sh_dim, save=None):
+    """sigma net -> split heads -> SH color net; optionally record residues."""
+    s_layers, c_layers = nets["sigma_net"], nets["color_net"]
+
+    def dense(p, x):
+        return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+
+    h = enc
+    for i, layer in enumerate(s_layers):
+        if save is not None:
+            save.setdefault("sig_in", []).append(h)
+        pre = dense(layer, h)
+        if i < len(s_layers) - 1:
+            h = jax.nn.relu(pre)
+            if save is not None:
+                save.setdefault("sig_mask", []).append(pre > 0)
+    out1 = pre
+    sigma_raw = out1[:, 0]
+    geo = out1[:, 1:]
+
+    c0 = c_layers[0]
+    w_sh = c0["w"][:sh_dim]
+    w_geo = c0["w"][sh_dim:]
+    pre_c = (
+        jnp.dot(sh_p, w_sh, preferred_element_type=jnp.float32)
+        + jnp.dot(geo, w_geo, preferred_element_type=jnp.float32)
+        + c0["b"]
+    )
+    h = jax.nn.relu(pre_c)
+    if save is not None:
+        save["geo"] = geo
+        save.setdefault("col_in", []).append(None)
+        save.setdefault("col_mask", []).append(pre_c > 0)
+    for i, layer in enumerate(c_layers[1:], start=1):
+        if save is not None:
+            save["col_in"].append(h)
+        pre = dense(layer, h)
+        if i < len(c_layers) - 1:
+            h = jax.nn.relu(pre)
+            if save is not None:
+                save["col_mask"].append(pre > 0)
+    rgb_raw = pre
+    return sigma_raw, rgb_raw, w_geo
+
+
+def _hash_render_kernel(rd_ref, z_ref, noise_ref, sh_ref, enc_ref, *refs,
+                        n_params: int, names, geo_dim: int, sh_dim: int,
+                        white_bkgd: bool):
+    param_refs = refs[:n_params]
+    rgb_ref, disp_ref, acc_ref, depth_ref, weights_ref = refs[n_params:]
+    nets = _unflatten_nets(param_refs, names)
+
+    rd = rd_ref[:]
+    z = z_ref[:]
+    noise = noise_ref[:]
+    R, S = z.shape
+    P = R * S
+    enc = enc_ref[:]
+    sh = sh_ref[:]
+    sh_p = jnp.broadcast_to(sh[:, None, :], (R, S, sh_dim)).reshape(P, sh_dim)
+
+    sigma_raw, rgb_raw, _ = _nets_forward(nets, enc, sh_p, geo_dim, sh_dim)
+    sigma = jax.nn.relu(sigma_raw.reshape(R, S) + noise)
+    c = jax.nn.sigmoid(rgb_raw).reshape(R, S, 3)
+    out, _ = composite_fwd(z, rd, sigma, c, white_bkgd)
+
+    rgb_ref[:] = out["rgb"]
+    disp_ref[:] = out["disp"][:, None]
+    acc_ref[:] = out["acc"][:, None]
+    depth_ref[:] = out["depth"][:, None]
+    weights_ref[:] = out["weights"]
+
+
+def _hash_render_bwd_kernel(rd_ref, z_ref, noise_ref, sh_ref, enc_ref,
+                            grgb_ref, gdisp_ref, gacc_ref, gdepth_ref, *refs,
+                            n_params: int, names, geo_dim: int, sh_dim: int,
+                            white_bkgd: bool):
+    param_refs = refs[:n_params]
+    denc_ref = refs[n_params]
+    grad_refs = refs[n_params + 1:]
+    nets = _unflatten_nets(param_refs, names)
+    s_layers, c_layers = nets["sigma_net"], nets["color_net"]
+
+    rd = rd_ref[:]
+    z = z_ref[:]
+    noise = noise_ref[:]
+    R, S = z.shape
+    P = R * S
+    enc = enc_ref[:]
+    sh = sh_ref[:]
+    sh_p = jnp.broadcast_to(sh[:, None, :], (R, S, sh_dim)).reshape(P, sh_dim)
+
+    save = {}
+    sigma_raw, rgb_raw, w_geo = _nets_forward(
+        nets, enc, sh_p, geo_dim, sh_dim, save
+    )
+    sigma_noisy = sigma_raw.reshape(R, S) + noise
+    sigma = jax.nn.relu(sigma_noisy)
+    c = jax.nn.sigmoid(rgb_raw).reshape(R, S, 3)
+    out, resid = composite_fwd(z, rd, sigma, c, white_bkgd)
+    w = out["weights"]
+
+    sigmabar, cbar = composite_bwd(
+        z, w, c, sigma_noisy, out, resid,
+        grgb_ref[:], gdisp_ref[:, 0], gdepth_ref[:, 0], gacc_ref[:, 0],
+        white_bkgd,
+    )
+    g_sigma = sigmabar.reshape(P, 1)
+    g_rgb_raw = cbar.reshape(P, 3)
+
+    first = pl.program_id(0) == 0
+    gref = {name: ref for name, ref in zip(names_grads(names), grad_refs)}
+
+    g = g_rgb_raw
+    for i in reversed(range(1, len(c_layers))):
+        gw, gb, g = dense_bwd_prec(c_layers[i], save["col_in"][i], g)
+        accum_ref(gref[("color_net", i, "w")], gw, first)
+        accum_ref(gref[("color_net", i, "b")], gb, first)
+        g = g * save["col_mask"][i - 1]
+    gw_sh = jax.lax.dot_general(sh_p, g, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    gw_geo = jax.lax.dot_general(save["geo"], g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    accum_ref(gref[("color0_w_sh",)], gw_sh, first)
+    accum_ref(gref[("color0_w_geo",)], gw_geo, first)
+    accum_ref(gref[("color_net", 0, "b")], jnp.sum(g, 0), first)
+    g_geo = jax.lax.dot_general(g, w_geo, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    last = len(s_layers) - 1
+    w_last = s_layers[last]["w"]
+    h_in = save["sig_in"][last]
+    gw_s = jax.lax.dot_general(h_in, g_sigma, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    gw_g = jax.lax.dot_general(h_in, g_geo, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    accum_ref(gref[("sigma_last_w_sigma",)], gw_s, first)
+    accum_ref(gref[("sigma_last_w_geo",)], gw_g, first)
+    accum_ref(gref[("sigma_last_b_sigma",)], jnp.sum(g_sigma, 0), first)
+    accum_ref(gref[("sigma_last_b_geo",)], jnp.sum(g_geo, 0), first)
+    g_h = (
+        jax.lax.dot_general(g_sigma, w_last[:, 0:1], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(g_geo, w_last[:, 1:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    for i in reversed(range(last)):
+        g_pre = g_h * save["sig_mask"][i]
+        gw, gb, g_h = dense_bwd_prec(s_layers[i], save["sig_in"][i], g_pre)
+        accum_ref(gref[("sigma_net", i, "w")], gw, first)
+        accum_ref(gref[("sigma_net", i, "b")], gb, first)
+
+    denc_ref[:] = g_h
+
+
+def _pad_ray_arrays(blk, S, E, sh_dim, rd, z, noise, sh, enc, extra=()):
+    N = z.shape[0]
+    n_blocks = -(-N // blk)
+    pad = n_blocks * blk - N
+    if pad:
+        zpadc = lambda a, c: jnp.concatenate([a, jnp.zeros((pad, c), a.dtype)])
+        rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))])
+        z = jnp.concatenate([z, jnp.broadcast_to(z[-1:], (pad, S))])
+        noise = zpadc(noise, S)
+        sh = jnp.concatenate([sh, jnp.broadcast_to(sh[-1:], (pad, sh_dim))])
+        enc = jnp.concatenate([enc, jnp.zeros((pad * S, E), enc.dtype)])
+        extra = tuple(zpadc(a, a.shape[1]) for a in extra)
+    return n_blocks, pad, rd, z, noise, sh, enc, extra
+
+
+@partial(jax.jit, static_argnames=("geo_dim", "sh_dim", "white_bkgd",
+                                   "block_rays", "interpret"))
+def _render_fwd_call(nets, rd, z, noise, sh, enc, geo_dim, sh_dim,
+                     white_bkgd, block_rays, interpret):
+    N, S = z.shape
+    E = enc.shape[-1]
+    blk = min(block_rays, N)
+    n_blocks, _, rd, z, noise, sh, enc, _ = _pad_ray_arrays(
+        blk, S, E, sh_dim, rd, z, noise, sh, enc
+    )
+    leaves, names = _flatten_nets(nets)
+    ray_spec = lambda c: pl.BlockSpec((blk, c), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    pt_spec = pl.BlockSpec((blk * S, E), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    const_spec = lambda shp: pl.BlockSpec(shp, lambda i, nd=len(shp): (0,) * nd,
+                                          memory_space=pltpu.VMEM)
+    kern = partial(_hash_render_kernel, n_params=len(leaves), names=names,
+                   geo_dim=geo_dim, sh_dim=sh_dim, white_bkgd=white_bkgd)
+    NB = n_blocks * blk
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((NB, 3), jnp.float32),
+            jax.ShapeDtypeStruct((NB, 1), jnp.float32),
+            jax.ShapeDtypeStruct((NB, 1), jnp.float32),
+            jax.ShapeDtypeStruct((NB, 1), jnp.float32),
+            jax.ShapeDtypeStruct((NB, S), jnp.float32),
+        ),
+        grid=(n_blocks,),
+        in_specs=[ray_spec(3), ray_spec(S), ray_spec(S), ray_spec(sh_dim),
+                  pt_spec] + [const_spec(l.shape) for l in leaves],
+        out_specs=(ray_spec(3), ray_spec(1), ray_spec(1), ray_spec(1),
+                   ray_spec(S)),
+        interpret=interpret,
+    )(rd, z, noise, sh, enc, *leaves)
+    rgb, disp, acc, depth, weights = outs
+    return {"rgb": rgb[:N], "disp": disp[:N, 0], "acc": acc[:N, 0],
+            "depth": depth[:N, 0], "weights": weights[:N]}
+
+
+@partial(jax.jit, static_argnames=("geo_dim", "sh_dim", "white_bkgd",
+                                   "block_rays", "interpret"))
+def _render_bwd_call(nets, rd, z, noise, sh, enc, cots, geo_dim, sh_dim,
+                     white_bkgd, block_rays, interpret):
+    N, S = z.shape
+    E = enc.shape[-1]
+    blk = min(block_rays, N)
+    g_rgb, g_disp, g_acc, g_depth = cots
+    n_blocks, _, rd, z, noise, sh, enc, (g_rgb, g_disp, g_acc, g_depth) = (
+        _pad_ray_arrays(
+            blk, S, E, sh_dim, rd, z, noise, sh, enc,
+            # ZERO cotangents on padded rays: no gradient contribution
+            extra=(g_rgb, g_disp[:, None], g_acc[:, None], g_depth[:, None]),
+        )
+    )
+    leaves, names = _flatten_nets(nets)
+    gshapes = _grad_shapes(leaves, names, geo_dim, sh_dim)
+    ray_spec = lambda c: pl.BlockSpec((blk, c), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    pt_spec = pl.BlockSpec((blk * S, E), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    const_spec = lambda shp: pl.BlockSpec(shp, lambda i, nd=len(shp): (0,) * nd,
+                                          memory_space=pltpu.VMEM)
+    kern = partial(_hash_render_bwd_kernel, n_params=len(leaves), names=names,
+                   geo_dim=geo_dim, sh_dim=sh_dim, white_bkgd=white_bkgd)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * blk * S, E), jnp.float32),
+        ) + tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in gshapes),
+        grid=(n_blocks,),
+        in_specs=[ray_spec(3), ray_spec(S), ray_spec(S), ray_spec(sh_dim),
+                  pt_spec, ray_spec(3), ray_spec(1), ray_spec(1), ray_spec(1)]
+                 + [const_spec(l.shape) for l in leaves],
+        out_specs=(pt_spec,) + tuple(const_spec(s) for s in gshapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(rd, z, noise, sh, enc, g_rgb, g_disp, g_acc, g_depth, *leaves)
+    d_enc = outs[0][: N * S]
+    gleaves = dict(zip(names_grads(names), outs[1:]))
+
+    s_idx = max(i for (net, i, _) in names if net == "sigma_net")
+    grads = {"sigma_net": [], "color_net": []}
+    for i in range(s_idx + 1):
+        if i == s_idx:
+            grads["sigma_net"].append({
+                "w": jnp.concatenate(
+                    [gleaves[("sigma_last_w_sigma",)],
+                     gleaves[("sigma_last_w_geo",)]], axis=1),
+                "b": jnp.concatenate(
+                    [gleaves[("sigma_last_b_sigma",)],
+                     gleaves[("sigma_last_b_geo",)]]),
+            })
+        else:
+            grads["sigma_net"].append({
+                "w": gleaves[("sigma_net", i, "w")],
+                "b": gleaves[("sigma_net", i, "b")],
+            })
+    n_color = max(i for (net, i, _) in names if net == "color_net") + 1
+    for i in range(n_color):
+        if i == 0:
+            grads["color_net"].append({
+                "w": jnp.concatenate(
+                    [gleaves[("color0_w_sh",)], gleaves[("color0_w_geo",)]],
+                    axis=0),
+                "b": gleaves[("color_net", 0, "b")],
+            })
+        else:
+            grads["color_net"].append({
+                "w": gleaves[("color_net", i, "w")],
+                "b": gleaves[("color_net", i, "b")],
+            })
+    return d_enc, grads
+
+
+def _encode_inputs(params, hcfg, rays_o, rays_d, z_vals, interpret):
+    from mvip_tpu.models.nerf_hashgrid import dense_levels, sh_encoding
+    from mvip_tpu.ops.pallas_hashgrid_t import _encode_fwd_t
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    x01 = jnp.clip(
+        (pts.reshape(-1, 3) + hcfg.bound) / (2.0 * hcfg.bound), 0.0, 1.0
+    )
+    res_arr = jnp.asarray(hcfg.resolutions, jnp.int32)
+    dense_i = dense_levels(hcfg.resolutions, hcfg.table_size).astype(jnp.int32)
+    enc = _encode_fwd_t(params["table"].astype(jnp.float32), x01, res_arr,
+                        dense_i, table_size=hcfg.table_size,
+                        block=hcfg.fused_block, compute_dtype=hcfg.fused_dtype,
+                        interpret=interpret)
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    sh = sh_encoding(vd, hcfg.sh_degree)
+    return x01, enc, sh, res_arr, dense_i
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 6, 7, 8, 9))
+def _hash_train_render_core(params, hcfg, rays_o, rays_d, z_vals, noise,
+                            white_bkgd, block_rays, interpret,
+                            fast_bwd) -> Dict[str, jnp.ndarray]:
+    x01, enc, sh, _, _ = _encode_inputs(params, hcfg, rays_o, rays_d, z_vals,
+                                        interpret)
+    nets = {"sigma_net": params["sigma_net"], "color_net": params["color_net"]}
+    out = _render_fwd_call(nets, rays_d, z_vals, noise, sh, enc,
+                           hcfg.geo_feat_dim, hcfg.sh_dim, white_bkgd,
+                           block_rays, interpret)
+    return {k: out[k] for k in ("rgb", "disp", "acc", "depth")}
+
+
+def _htr_fwd(params, hcfg, rays_o, rays_d, z_vals, noise, white_bkgd,
+             block_rays, interpret, fast_bwd):
+    out = _hash_train_render_core(params, hcfg, rays_o, rays_d, z_vals, noise,
+                                  white_bkgd, block_rays, interpret, fast_bwd)
+    return out, (params, rays_o, rays_d, z_vals, noise)
+
+
+def _htr_bwd(hcfg, white_bkgd, block_rays, interpret, fast_bwd, res, cots):
+    from mvip_tpu.ops.pallas_hashgrid_t import _encode_bwd_table_t
+
+    params, rays_o, rays_d, z_vals, noise = res
+    # re-run the (cheap, fused) encode rather than saving [N*S, L*F] residuals
+    # across the whole guidance graph
+    x01, enc, sh, res_arr, dense_i = _encode_inputs(
+        params, hcfg, rays_o, rays_d, z_vals, interpret
+    )
+    nets = {"sigma_net": params["sigma_net"], "color_net": params["color_net"]}
+    g = (cots["rgb"], cots["disp"], cots["acc"], cots["depth"])
+    d_enc, net_grads = _render_bwd_call(
+        nets, rays_d, z_vals, noise, sh, enc, g, hcfg.geo_feat_dim,
+        hcfg.sh_dim, white_bkgd, block_rays, interpret,
+    )
+    d_table = _encode_bwd_table_t(
+        x01, d_enc, res_arr, dense_i, L=hcfg.n_levels, F=hcfg.n_features,
+        table_size=hcfg.table_size, block=hcfg.fused_block,
+        compute_dtype=hcfg.fused_dtype, interpret=interpret,
+    )
+    grads = {"table": d_table.astype(params["table"].dtype), **net_grads}
+    return (grads, jnp.zeros_like(rays_o), jnp.zeros_like(rays_d),
+            jnp.zeros_like(z_vals), jnp.zeros_like(noise))
+
+
+_hash_train_render_core.defvjp(_htr_fwd, _htr_bwd)
+
+
+def hash_train_render(params, hcfg, rays_o, rays_d, z_vals,
+                      white_bkgd: bool = False, block_rays: int = 16,
+                      interpret: bool = False, noise=None):
+    """Differentiable (w.r.t. table+net params) fused render, hash-grid
+    backbone. Same contract as `pallas_render_grad.fused_train_render`."""
+    if noise is None:
+        noise = jnp.zeros_like(z_vals)
+    return _hash_train_render_core(params, hcfg, rays_o, rays_d, z_vals,
+                                   noise, white_bkgd, block_rays, interpret,
+                                   False)
+
+
+def hash_train_hier_render(
+    key,
+    params_coarse,
+    params_fine,
+    hcfg,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    n_samples: int,
+    n_importance: int,
+    perturb: float = 1.0,
+    raw_noise_std: float = 0.0,
+    lindisp: bool = False,
+    white_bkgd: bool = False,
+    block_rays: int = 16,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Hash-grid twin of `fused_train_hier_render`: stochastic coarse ->
+    importance -> fine render on the fused kernels, differentiable w.r.t. the
+    FINE model only (the coarse pass only feeds the detached importance draw).
+    Key split order matches `render/renderer.py:render_rays`."""
+    from mvip_tpu.ops.pallas_sampling import sample_pdf_pallas
+    from mvip_tpu.ops.sampling import merge_z_vals, sample_pdf, stratified_z_vals
+
+    R = rays_o.shape[0]
+    if key is None:
+        k_strat = k_noise0 = k_pdf = k_noise1 = None
+    else:
+        k_strat, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
+
+    z = stratified_z_vals(k_strat, R, n_samples, near, far,
+                          lindisp=lindisp, perturb=perturb)
+    noise0 = (
+        jax.random.normal(k_noise0, (R, n_samples)) * raw_noise_std
+        if raw_noise_std > 0 else jnp.zeros((R, n_samples))
+    )
+    pc = jax.lax.stop_gradient(params_coarse)
+    x01, enc, sh, _, _ = _encode_inputs(pc, hcfg, rays_o, rays_d, z, interpret)
+    nets = {"sigma_net": pc["sigma_net"], "color_net": pc["color_net"]}
+    coarse = _render_fwd_call(nets, rays_d, z, noise0, sh, enc,
+                              hcfg.geo_feat_dim, hcfg.sh_dim, white_bkgd,
+                              block_rays, interpret)
+    z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+    w_mid = jax.lax.stop_gradient(coarse["weights"][:, 1:-1])
+    if interpret:
+        z_fine = sample_pdf(z_mid, w_mid, n_importance, key=k_pdf,
+                            det=(perturb == 0.0))
+    else:
+        z_fine = sample_pdf_pallas(z_mid, w_mid, n_importance, key=k_pdf,
+                                   det=(perturb == 0.0))
+    z_all = merge_z_vals(z, jax.lax.stop_gradient(z_fine))
+    S_all = n_samples + n_importance
+    noise1 = (
+        jax.random.normal(k_noise1, (R, S_all)) * raw_noise_std
+        if raw_noise_std > 0 else None
+    )
+    return hash_train_render(params_fine, hcfg, rays_o, rays_d, z_all,
+                             white_bkgd=white_bkgd, block_rays=block_rays,
+                             interpret=interpret, noise=noise1)

@@ -109,20 +109,31 @@ def _render_view_image(key, streams: DeviceStreams, v, H, W, focal, render_fn,
 def fused_guidance_supported(ropts: RenderOptions, backbone: str,
                              model_cfg=None) -> bool:
     """Whether the guidance-loss renders can run on the Pallas megakernel path
-    (`ops/pallas_render_grad.fused_train_hier_render`) instead of the
-    remat-chunked XLA renderer. Mirrors `train/fused_step.fused_step_supported`
-    minus the batch-shape conditions (guidance renders are full views)."""
+    (`ops/pallas_render_grad.fused_train_hier_render` for the PE-MLP,
+    `ops/pallas_hash_render.hash_train_hier_render` for the hash grid) instead
+    of the remat-chunked XLA renderer. Mirrors
+    `train/fused_step.fused_step_supported` minus the batch-shape conditions
+    (guidance renders are full views)."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         return False
-    pe_ok = model_cfg is None or (
-        getattr(model_cfg, "multires", 0) > 0
-        and getattr(model_cfg, "multires_views", 0) > 0
-    )
+    if backbone == "mlp":
+        model_ok = model_cfg is None or (
+            getattr(model_cfg, "multires", 0) > 0
+            and getattr(model_cfg, "multires_views", 0) > 0
+        )
+    elif backbone == "hashgrid_fused":
+        from mvip_tpu.ops.pallas_hashgrid_t import MAX_FUSED_LOG2_T
+
+        model_ok = model_cfg is not None and (
+            model_cfg.log2_table_size <= MAX_FUSED_LOG2_T
+            and 128 % model_cfg.n_features == 0
+        )
+    else:
+        return False
     return (
-        backbone == "mlp"
-        and pe_ok
+        model_ok
         and on_tpu
         and not ropts.ndc
         and ropts.use_viewdirs
@@ -144,8 +155,9 @@ def make_mvip_train_step(
     sds_colla_cfg: SDSConfig,
     text_pair_rgb: jnp.ndarray,      # [2, T, C] = [uncond | cond]
     text_pair_normal: jnp.ndarray,
-    fused_mlp_cfg=None,              # NeRFMLPConfig => guidance renders run on
-                                     # the Pallas megakernels (VERDICT r1 #3)
+    fused_mlp_cfg=None,              # NeRFMLPConfig | HashGridConfig =>
+                                     # guidance renders run on the Pallas
+                                     # megakernels (VERDICT r1 #3)
 ):
     """Build the jitted MVIP step: (state, streams, key, i) -> (state, metrics)."""
     H, W, focal = scfg.H, scfg.W, scfg.focal
@@ -157,11 +169,20 @@ def make_mvip_train_step(
         coarse_fn, fine_fn = model_fns(params, coarse_apply, fine_apply)
 
         if fused_mlp_cfg is not None:
-            from mvip_tpu.ops.pallas_render_grad import fused_train_hier_render
+            from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
+
+            if isinstance(fused_mlp_cfg, NeRFMLPConfig):
+                from mvip_tpu.ops.pallas_render_grad import (
+                    fused_train_hier_render as hier_render,
+                )
+            else:
+                from mvip_tpu.ops.pallas_hash_render import (
+                    hash_train_hier_render as hier_render,
+                )
 
             def guided_render(kk, ro, rd, keep):
                 pf = params["fine"] if params.get("fine") else params["coarse"]
-                out = fused_train_hier_render(
+                out = hier_render(
                     kk, params["coarse"], pf, fused_mlp_cfg, ro, rd,
                     scfg.near, scfg.far, ropts.n_samples, ropts.n_importance,
                     perturb=ropts.perturb, raw_noise_std=ropts.raw_noise_std,

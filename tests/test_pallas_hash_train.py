@@ -129,3 +129,59 @@ def test_hash_fused_step_trains():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_hash_hier_render_grad_parity():
+    """Stochastic hierarchical guided render on the hash kernels == the XLA
+    render_rays under identical RNG draws (outputs + fine-params gradients;
+    coarse gets exactly zero gradient)."""
+    from mvip_tpu.ops.pallas_hash_render import hash_train_hier_render
+    from mvip_tpu.render.renderer import RenderOptions, render_rays
+
+    key = jax.random.PRNGKey(3)
+    params_c = init_hashgrid_nerf(jax.random.PRNGKey(1), HCFG)
+    params_f = init_hashgrid_nerf(jax.random.PRNGKey(2), HCFG)
+    for p in (params_c, params_f):
+        p["table"] = jax.random.uniform(
+            jax.random.fold_in(key, 5), p["table"].shape, jnp.float32,
+            -0.05, 0.05,
+        )
+    R = 24
+    ro = jnp.zeros((R, 3)).at[:, 2].set(3.0)
+    rd = jax.random.normal(jax.random.fold_in(key, 1), (R, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    tgt = jax.random.uniform(jax.random.fold_in(key, 9), (R, 3))
+    k_render = jax.random.fold_in(key, 11)
+
+    def loss_fused(pf):
+        o = hash_train_hier_render(
+            k_render, params_c, pf, HCFG, ro, rd, 1.0, 5.0, 8, 8,
+            perturb=1.0, raw_noise_std=1.0, white_bkgd=True, interpret=True,
+        )
+        return (jnp.mean((o["rgb"] - tgt) ** 2) + 0.05 * jnp.mean(o["depth"])
+                + 0.1 * jnp.mean(o["disp"]))
+
+    opts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
+                         raw_noise_std=1.0, white_bkgd=True, use_pallas=False)
+
+    def loss_ref(both):
+        pc, pf = both
+        o = render_rays(k_render, ro, rd, 1.0, 5.0,
+                        lambda pts, vd: apply_hashgrid_nerf(pc, HCFG, pts, vd),
+                        lambda pts, vd: apply_hashgrid_nerf(pf, HCFG, pts, vd),
+                        opts)
+        return (jnp.mean((o["rgb"] - tgt) ** 2) + 0.05 * jnp.mean(o["depth"])
+                + 0.1 * jnp.mean(o["disp"]))
+
+    lf, gf = jax.value_and_grad(loss_fused)(params_f)
+    lr, (gr_c, gr_f) = jax.value_and_grad(loss_ref)((params_c, params_f))
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-4)
+    assert max(float(jnp.abs(g).max())
+               for g in jax.tree_util.tree_leaves(gr_c)) == 0.0
+    flat_f, flat_r = jax.tree.leaves(gf), jax.tree.leaves(gr_f)
+    scale = max(float(jnp.abs(x).max()) for x in flat_r)
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * max(scale, 1.0),
+            rtol=2e-4,
+        )
