@@ -439,3 +439,97 @@ def test_unet_qkv_nobias_import(rng):
     W.import_state_dict(params, sd, W.unet_mapping(cfg))
     attn = params["down"][0]["attns"][0]["attn1"]
     assert float(np.abs(attn["q"]["b"]).max()) == 0.0
+
+
+class TLPIPS(nn.Module):
+    """Hand-built replica of the lpips package's published computation (Zhang
+    et al. 2018): scaling layer -> VGG-style conv taps -> channel-unit-
+    normalize -> squared diff -> non-negative 1x1 lin heads -> spatial mean ->
+    sum over taps. diffusers-style hand construction since neither lpips nor
+    torchvision is installed here."""
+
+    def __init__(self, stages):
+        super().__init__()
+        self.stages = stages
+        convs = []
+        c_in = 3
+        for c, n in stages:
+            for _ in range(n):
+                convs.append(nn.Conv2d(c_in, c, 3, padding=1))
+                c_in = c
+        self.convs = nn.ModuleList(convs)
+        self.lins = nn.ModuleList(
+            [nn.Conv2d(c, 1, 1, bias=False) for c, _ in stages]
+        )
+        self.register_buffer(
+            "shift", torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        )
+        self.register_buffer(
+            "scale", torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        )
+
+    def taps(self, x):
+        h = (x - self.shift) / self.scale
+        out, k = [], 0
+        for si, (c, n) in enumerate(self.stages):
+            if si > 0:
+                h = F.max_pool2d(h, 2)
+            for _ in range(n):
+                h = F.relu(self.convs[k](h))
+                k += 1
+            out.append(h)
+        return out
+
+    def forward(self, a, b):
+        total = 0.0
+        for ta, tb, lin in zip(self.taps(a), self.taps(b), self.lins):
+            na = ta / (ta.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+            nb = tb / (tb.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+            d2 = (na - nb).pow(2)
+            w = lin.weight.clamp(min=0.0)
+            total = total + F.conv2d(d2, w).mean((1, 2, 3))
+        return total
+
+
+def test_lpips_matches_torch_replica(rng):
+    from mvip_tpu.eval.lpips_jax import (
+        import_lpips_state,
+        init_lpips,
+        lpips,
+        tiny_lpips_config,
+    )
+
+    cfg = tiny_lpips_config()
+    torch.manual_seed(2)
+    tm = TLPIPS(cfg.stages).eval()
+
+    # rename the flat conv list to torchvision vgg `features.{idx}` names and
+    # the lins to `lin{i}.model.1` — the layout load_lpips_weights expects
+    sd = {}
+    idx, k = 0, 0
+    for si, (c, n) in enumerate(cfg.stages):
+        if si > 0:
+            idx += 1
+        for _ in range(n):
+            sd[f"features.{idx}.weight"] = tm.convs[k].weight.detach().numpy()
+            sd[f"features.{idx}.bias"] = tm.convs[k].bias.detach().numpy()
+            idx += 2
+            k += 1
+    for i, lin in enumerate(tm.lins):
+        sd[f"lin{i}.model.1.weight"] = lin.weight.detach().numpy()
+
+    params = jax.tree.map(np.asarray, init_lpips(jax.random.PRNGKey(0), cfg))
+    import_lpips_state(params, sd, cfg)
+
+    a = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    ours = np.asarray(lpips(params, cfg, jnp.asarray(a), jnp.asarray(b)))
+    with torch.no_grad():
+        theirs = tm(
+            torch.from_numpy(a.transpose(0, 3, 1, 2)),
+            torch.from_numpy(b.transpose(0, 3, 1, 2)),
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+    # identity property: d(x, x) == 0
+    zero = np.asarray(lpips(params, cfg, jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(zero, 0.0, atol=1e-7)

@@ -47,6 +47,13 @@ def main():
     parser.add_argument("--gt_depth", default=None, help="dir of gt depth .npy")
     parser.add_argument("--out", default="eval.txt")
     parser.add_argument("--lpips_net", default="vgg")
+    parser.add_argument(
+        "--lpips_weights",
+        default=os.environ.get("MVIP_LPIPS_WEIGHTS", ""),
+        help="torch state dict (VGG16 features + lpips lin heads) for the "
+        "NATIVE JAX LPIPS (eval/lpips_jax.py); used when the torch lpips "
+        "package is absent",
+    )
     args = parser.parse_args()
 
     if args.pairs:
@@ -69,6 +76,20 @@ def _evaluate_pair(pred_path, gt_path, args):
     if len(preds) != len(gts):
         print(f"WARNING: {len(preds)} pred vs {len(gts)} gt images; using first {n}")
 
+    lpips_native = None
+    if getattr(args, "lpips_weights", "") and os.path.exists(args.lpips_weights):
+        import jax.numpy as _jnp
+
+        from mvip_tpu.eval.lpips_jax import LPIPSConfig, load_lpips_weights, lpips
+
+        _lp_params = load_lpips_weights(args.lpips_weights)
+        _lp_cfg = LPIPSConfig()
+
+        def lpips_native(p, g):
+            a = _jnp.asarray(p) * 2.0 - 1.0
+            b = _jnp.asarray(g) * 2.0 - 1.0
+            return float(lpips(_lp_params, _lp_cfg, a[None], b[None])[0])
+
     psnrs, ssims, lpipss = [], [], []
     for p, g in zip(preds[:n], gts[:n]):
         if p.shape != g.shape:
@@ -77,9 +98,13 @@ def _evaluate_pair(pred_path, gt_path, args):
             g = cv2.resize(g, (p.shape[1], p.shape[0]))
         psnrs.append(float(psnr(np.asarray(p, np.float32), np.asarray(g, np.float32))))
         ssims.append(float(ssim(np.asarray(p, np.float32), np.asarray(g, np.float32))))
-        lp = lpips_torch(p.astype(np.float32), g.astype(np.float32), args.lpips_net)
-        if lp is not None:
-            lpipss.append(lp)
+        if lpips_native is not None:
+            lpipss.append(lpips_native(p.astype(np.float32), g.astype(np.float32)))
+        else:
+            lp = lpips_torch(p.astype(np.float32), g.astype(np.float32),
+                             args.lpips_net)
+            if lp is not None:
+                lpipss.append(lp)
 
     fid_val = fid(
         np.stack(preds[:n]).astype(np.float32), np.stack(gts[:n]).astype(np.float32)
