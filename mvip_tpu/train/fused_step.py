@@ -62,12 +62,14 @@ def fused_step_supported(scfg: StepConfig, ropts: RenderOptions,
             and getattr(mcfg, "multires_views", 0) > 0
         )  # the kernel's in-VMEM positional encoding assumes PE inputs
     elif backbone == "hashgrid_fused":
-        from mvip_tpu.ops.pallas_hashgrid_t import MAX_FUSED_LOG2_T
-
-        model_ok = mcfg is not None and (
-            mcfg.log2_table_size <= MAX_FUSED_LOG2_T
-            and 128 % mcfg.n_features == 0
-        )  # the kernel chain in ops/pallas_hash_train.py
+        # The three-kernel chain (ops/pallas_hash_train.py) is oracle-correct
+        # but measured SLOWER than the XLA step with the transposed encode
+        # custom-VJP (13.0k vs 14.8k rays/s, one v5e): XLA overlaps the tiny
+        # MLP/composite/autodiff work with the encode kernels for free (stage
+        # timing in BASELINE.md r2), while the chain pays an unoverlapped
+        # kernel + layout glue. Keep the XLA step as the training default;
+        # the chain stays available via make_fused_train_step(hcfg) directly.
+        return False
     else:
         return False
     return (

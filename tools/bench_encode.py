@@ -38,6 +38,7 @@ def _time(fn, x, reps=10, warmup=2):
 def main():
     log2T = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
+    cdt = sys.argv[3] if len(sys.argv) > 3 else "float32"
     cfg = HashGridConfig(log2_table_size=log2T, bound=8.0)
     L, F, T = cfg.n_levels, cfg.n_features, cfg.table_size
     res_arr = jnp.asarray(cfg.resolutions, jnp.int32)
@@ -55,34 +56,35 @@ def main():
 
     @jax.jit
     def g1_fwd(x):
-        return jnp.sum(hashgrid_encode_fused(table, x, res_arr, dense_i, T))
+        return jnp.sum(hashgrid_encode_fused(table, x, res_arr, dense_i, T, compute_dtype=cdt))
 
     @jax.jit
     def g2_fwd(x):
-        return jnp.sum(hashgrid_encode_fused_t(table, x, res_arr, dense_i, T))
+        return jnp.sum(hashgrid_encode_fused_t(table, x, res_arr, dense_i, T, compute_dtype=cdt))
 
     @jax.jit
     def g1_fb(x):
         def loss(t):
-            return jnp.sum(hashgrid_encode_fused(t, x, res_arr, dense_i, T) * g)
+            return jnp.sum(hashgrid_encode_fused(t, x, res_arr, dense_i, T, compute_dtype=cdt) * g)
         return jnp.sum(jnp.abs(jax.grad(loss)(table)))
 
     @jax.jit
     def g2_fb(x):
         def loss(t):
-            return jnp.sum(hashgrid_encode_fused_t(t, x, res_arr, dense_i, T) * g)
+            return jnp.sum(hashgrid_encode_fused_t(t, x, res_arr, dense_i, T, compute_dtype=cdt) * g)
         return jnp.sum(jnp.abs(jax.grad(loss)(table)))
 
     # compiled-TPU correctness first (interpret-mode parity is in tests/)
     ref = hashgrid_encode(table, x[:4096], res_arr, T, dense)
     import numpy as np
 
-    o2 = hashgrid_encode_fused_t(table, x[:4096], res_arr, dense_i, T)
-    np.testing.assert_allclose(np.asarray(o2), np.asarray(ref), atol=1e-4)
+    o2 = hashgrid_encode_fused_t(table, x[:4096], res_arr, dense_i, T, compute_dtype=cdt)
+    atol = 1e-4 if cdt == "float32" else 2e-2
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(ref), atol=atol)
     print("compiled gen2 fwd parity vs XLA: OK")
     if log2T <= MAX_FUSED_LOG2:
-        o1 = hashgrid_encode_fused(table, x[:4096], res_arr, dense_i, T)
-        np.testing.assert_allclose(np.asarray(o1), np.asarray(ref), atol=1e-4)
+        o1 = hashgrid_encode_fused(table, x[:4096], res_arr, dense_i, T, compute_dtype=cdt)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(ref), atol=atol)
         print("compiled gen1 fwd parity vs XLA: OK")
 
     results = {}
@@ -93,7 +95,7 @@ def main():
         results["gen1_fwd_bwd_ms"] = _time(g1_fb, x) * 1e3
     results["xla_fwd_ms"] = _time(xla_fwd, x, reps=3, warmup=1) * 1e3
 
-    print(f"N={N} L={L} F={F} T=2^{log2T}")
+    print(f"N={N} L={L} F={F} T=2^{log2T} compute_dtype={cdt}")
     for k, v in results.items():
         print(f"  {k}: {v:.2f}")
 
