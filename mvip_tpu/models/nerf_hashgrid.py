@@ -194,14 +194,17 @@ def hashgrid_encode(
 
 
 def _fused_available(cfg: "HashGridConfig") -> bool:
-    """Fused-MXU encode runs on TPU for tables up to 2^MAX_FUSED_LOG2."""
-    from mvip_tpu.ops.pallas_hashgrid import MAX_FUSED_LOG2
+    """Fused-MXU encode runs on TPU for tables up to 2^MAX_FUSED_LOG2_T
+    (= tcnn's 2^19 since r2; the point block auto-shrinks so the one-hot slab
+    fits VMEM — cost stays linear in T, so 2^15 remains the fast default)."""
+    from mvip_tpu.ops.pallas_hashgrid_t import MAX_FUSED_LOG2_T
 
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and cfg.log2_table_size <= MAX_FUSED_LOG2 and 128 % cfg.n_features == 0
+    return (on_tpu and cfg.log2_table_size <= MAX_FUSED_LOG2_T
+            and 128 % cfg.n_features == 0)
 
 
 def dense_levels(resolutions, table_size: int) -> jnp.ndarray:

@@ -43,7 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mvip_tpu.ops.pallas_hashgrid import _PRIMES_I32
 
-MAX_FUSED_LOG2_T = 16
+MAX_FUSED_LOG2_T = 19  # tcnn's default table size; see _cap_block for cost
+
+
+def _cap_block(block: int, BT: int) -> int:
+    """Cap the point block so the [BT, B] one-hot slab stays <= ~4MB VMEM
+    (alongside the [128, BT] table block and [128, B] rows). The one-hot
+    matmul cost is linear in T either way — 2^15 is the fast default
+    (15ms fwd / 131k pts on one v5e); 2^19 runs at tcnn's full capacity for
+    quality-parity runs (~16x the MXU+onehot work)."""
+    cap = max(128, (1 << 20) // BT)
+    return min(block, cap)
 
 
 def _corner_math_t(xs, ys, zs, res, c):
@@ -197,6 +207,7 @@ def _encode_fwd_t(table, x, res_arr, dense_arr, *, table_size, block,
         raise ValueError(f"n_features={F} must divide 128 for the fused path")
     RE = 128 // F
     BT = T // RE
+    block = _cap_block(block, BT)
     tblT = table_to_lanes(table)
     xT, NB, _ = _pad_cols(x.T, block)              # [3, NB*block]
     smem, x_spec, tbl_spec, g_spec = _specs_t(block, BT, L, F)
@@ -221,6 +232,7 @@ def _encode_bwd_table_t(x, g, res_arr, dense_arr, *, L, F, table_size, block,
     T = table_size
     RE = 128 // F
     BT = T // RE
+    block = _cap_block(block, BT)
     xT, NB, _ = _pad_cols(x.T, block)
     # g [N, L*F] -> [L, F, N] (padded cols get zero cotangent: no grads)
     gT = jnp.transpose(g.reshape(g.shape[0], L, F), (1, 2, 0))

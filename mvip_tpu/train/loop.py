@@ -54,6 +54,7 @@ class Experiment:
     backbone: str = ""
     model_cfg: Any = None
     test_poses: Any = None
+    test_images: Any = None  # [n_test, H, W, 3] GT for held-out evaluation
 
 
 def load_scene(cfg: Config):
@@ -153,6 +154,7 @@ def load_scene(cfg: Config):
         raise ValueError(f"unknown dataset_type {cfg.dataset_type!r}")
 
     test_poses = np.asarray(poses)[i_test, :3, :4]
+    test_images = np.asarray(images)[i_test].astype(np.float32)[..., :3]
     train_set = set(np.asarray(i_train).tolist())
     if depth_gts is not None and len(depth_gts) == len(images):
         depth_gts = [depth_gts[i] for i in sorted(train_set)]
@@ -165,7 +167,8 @@ def load_scene(cfg: Config):
         depth_gts,
         cfg.max_masked_pixels,
     )
-    return streams, near, far, hwf, render_poses, i_train, i_test, test_poses
+    return (streams, near, far, hwf, render_poses, i_train, i_test,
+            test_poses, test_images)
 
 
 def build_models(cfg: Config, key: jax.Array):
@@ -227,14 +230,14 @@ def build_models(cfg: Config, key: jax.Array):
     fused = backbone == "hashgrid_fused"
     log2 = cfg.hashgrid_log2 or (15 if fused else 19)
     if fused and cfg.use_pallas:
-        from mvip_tpu.ops.pallas_hashgrid import MAX_FUSED_LOG2
+        from mvip_tpu.ops.pallas_hashgrid_t import MAX_FUSED_LOG2_T
 
-        if log2 > MAX_FUSED_LOG2:
+        if log2 > MAX_FUSED_LOG2_T:
             # refuse rather than silently fall back to the ~18x-slower XLA
             # gather encode the backbone name promises to avoid
             raise ValueError(
                 f"backbone hashgrid_fused needs hashgrid_log2 <= "
-                f"{MAX_FUSED_LOG2} (got {log2}); use --backbone hashgrid "
+                f"{MAX_FUSED_LOG2_T} (got {log2}); use --backbone hashgrid "
                 f"for larger tables"
             )
     hcfg = HashGridConfig(
@@ -254,7 +257,8 @@ def build_models(cfg: Config, key: jax.Array):
 
 
 def setup_experiment(cfg: Config) -> Experiment:
-    streams, near, far, hwf, render_poses, i_train, i_test, test_poses = load_scene(cfg)
+    (streams, near, far, hwf, render_poses, i_train, i_test, test_poses,
+     test_images) = load_scene(cfg)
     coarse_apply, fine_apply, params, backbone, model_cfg = build_models(
         cfg, jax.random.PRNGKey(cfg.seed)
     )
@@ -290,7 +294,7 @@ def setup_experiment(cfg: Config) -> Experiment:
         render_poses=np.asarray(render_poses), coarse_apply=coarse_apply,
         fine_apply=fine_apply, init_params=params, ropts=ropts, scfg=scfg,
         i_train=i_train, i_test=i_test, backbone=backbone, model_cfg=model_cfg,
-        test_poses=test_poses,
+        test_poses=test_poses, test_images=test_images,
     )
 
 

@@ -75,3 +75,15 @@ def test_transposed_matches_first_gen():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_transposed_big_table_block_cap():
+    """log2T > 16 shrinks the point block so the one-hot slab fits VMEM
+    (tcnn-capacity 2^19 support); semantics stay oracle-exact."""
+    table, x, res_arr, dense, T = _setup(L=3, log2T=17, N=300, finest=256.0)
+    ref = hashgrid_encode(table, x, res_arr, T, dense)
+    out = hashgrid_encode_fused_t(
+        table, x, res_arr, dense.astype(jnp.int32), T, block=1024,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -30,7 +30,7 @@ def test_emergency_checkpoint_on_crash(tmp_path, monkeypatch):
 
         streams = build_ray_streams(images, masks, depths, poses, 10.0)
         return (streams, 2.0, 6.0, (12, 16, 10.0), poses, np.arange(2),
-                np.array([0]), poses[:1])
+                np.array([0]), poses[:1], images[:1])
 
     monkeypatch.setattr(L, "load_scene", fake_load_scene)
 
