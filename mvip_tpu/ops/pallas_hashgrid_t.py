@@ -46,6 +46,18 @@ from mvip_tpu.ops.pallas_hashgrid import _PRIMES_I32
 MAX_FUSED_LOG2_T = 19  # tcnn's default table size; see _cap_block for cost
 
 
+def _compiler_params(BT: int):
+    """Raise Mosaic's scoped-VMEM cap (default 16MB) for tcnn-capacity tables.
+
+    At 2^19 (BT=8192) the backward kernel's [128, BT] accumulator + output
+    block + double-buffered [BT, B] one-hot slabs need ~28MB of kernel stack
+    (measured: `Scoped allocation with size 27.59M ... limit 16.00M` on v5e);
+    the cap is permission, not usage, so the fast 2^15 default is unaffected."""
+    if BT <= 2048:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _cap_block(block: int, BT: int) -> int:
     """Cap the point block so the [BT, B] one-hot slab stays <= ~4MB VMEM
     (alongside the [128, BT] table block and [128, B] rows). The one-hot
@@ -218,6 +230,7 @@ def _encode_fwd_t(table, x, res_arr, dense_arr, *, table_size, block,
         in_specs=[smem, smem, x_spec, tbl_spec],
         out_specs=g_spec,
         out_shape=jax.ShapeDtypeStruct((L, F, NB * block), jnp.float32),
+        compiler_params=_compiler_params(BT),
         interpret=interpret,
     )(res_arr, dense_arr, xT, tblT)
     N = x.shape[0]
@@ -245,6 +258,7 @@ def _encode_bwd_table_t(x, g, res_arr, dense_arr, *, L, F, table_size, block,
         in_specs=[smem, smem, x_spec, g_spec],
         out_specs=tbl_spec,
         out_shape=jax.ShapeDtypeStruct((L, 128, BT), jnp.float32),
+        compiler_params=_compiler_params(BT),
         interpret=interpret,
     )(res_arr, dense_arr, xT, gT)
     return lanes_to_table(out, T, F)
