@@ -470,3 +470,44 @@ def hash_train_hier_render(
     return hash_train_render(params_fine, hcfg, rays_o, rays_d, z_all,
                              white_bkgd=white_bkgd, block_rays=block_rays,
                              interpret=interpret, noise=noise1)
+
+
+def hash_render_image(
+    params_coarse,
+    params_fine,
+    hcfg,
+    H: int,
+    W: int,
+    focal,
+    c2w,
+    near: float,
+    far: float,
+    n_samples: int,
+    n_importance: int,
+    lindisp: bool = False,
+    white_bkgd: bool = False,
+    chunk: int = 8192,
+    block_rays: int = 16,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Full-image deterministic render on the fused hash-grid pipeline — the
+    hash-grid twin of `pallas_render.fused_render_image`, serving the eval /
+    testset / video paths (reference hot loop `run.py:1222-1362`) from the
+    transposed encode + render megakernels instead of the XLA apply."""
+    from mvip_tpu.ops.rays import rays_for_pose
+
+    ro, rd = rays_for_pose(H, W, focal, c2w)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    outs = {"rgb": [], "disp": [], "acc": [], "depth": []}
+    n = ro.shape[0]
+    for i in range(0, n, chunk):
+        ret = hash_train_hier_render(
+            None, params_coarse, params_fine, hcfg, ro[i : i + chunk],
+            rd[i : i + chunk], near, far, n_samples, n_importance,
+            perturb=0.0, raw_noise_std=0.0, lindisp=lindisp,
+            white_bkgd=white_bkgd, block_rays=block_rays, interpret=interpret,
+        )
+        for k in outs:
+            outs[k].append(ret[k])
+    return {k: jnp.concatenate(v).reshape(H, W, *v[0].shape[1:])
+            for k, v in outs.items()}

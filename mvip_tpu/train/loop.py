@@ -304,19 +304,27 @@ def _model_fns_from_state(exp: Experiment, state: TrainState):
     return model_fns(state.params, exp.coarse_apply, exp.fine_apply)
 
 
-def _fused_eval_available(exp) -> bool:
-    """The Pallas render megakernel serves MLP-backbone eval renders on TPU
-    (1.9x the XLA path — ops/pallas_render.py)."""
+def _fused_eval_available(exp) -> str:
+    """Which Pallas render megakernel serves eval renders on TPU: "mlp"
+    (ops/pallas_render.py, 1.9x the XLA path), "hash" (ops/pallas_hash_render.py
+    transposed-encode pipeline for both hashgrid backbones), or "" (XLA)."""
     try:
         import jax as _jax
 
-        return (
-            exp.backbone == "mlp"
-            and not exp.ropts.ndc  # fused path has no NDC warp
-            and _jax.devices()[0].platform == "tpu"
-        )
+        if exp.ropts.ndc or _jax.devices()[0].platform != "tpu":
+            return ""  # fused paths have no NDC warp
+        if exp.backbone == "mlp":
+            return "mlp"
+        if exp.backbone in ("hashgrid", "hashgrid_fused"):
+            from mvip_tpu.ops.pallas_hashgrid_t import MAX_FUSED_LOG2_T
+
+            hcfg = exp.model_cfg
+            if (hcfg.log2_table_size <= MAX_FUSED_LOG2_T
+                    and 128 % hcfg.n_features == 0):
+                return "hash"
+        return ""
     except Exception:
-        return False
+        return ""
 
 
 def _render_pose_list_dispatch(cfg, exp, state, poses, ropts, render_factor,
@@ -327,13 +335,18 @@ def _render_pose_list_dispatch(cfg, exp, state, poses, ropts, render_factor,
     H, W, focal = exp.hwf
     if render_factor and render_factor > 1:
         H, W, focal = H // render_factor, W // render_factor, focal / render_factor
-    if _fused_eval_available(exp):
-        from mvip_tpu.ops.pallas_render import fused_render_image
+    fused_kind = _fused_eval_available(exp)
+    if fused_kind:
         from mvip_tpu.utils.imaging import save_image
+
+        if fused_kind == "hash":
+            from mvip_tpu.ops.pallas_hash_render import hash_render_image as _img
+        else:
+            from mvip_tpu.ops.pallas_render import fused_render_image as _img
 
         outs = {"rgb": [], "disp": [], "acc": [], "depth": []}
         for i, pose in enumerate(np.asarray(poses)):
-            ret = fused_render_image(
+            ret = _img(
                 state.params["coarse"], state.params.get("fine") or
                 state.params["coarse"], exp.model_cfg, H, W, focal,
                 jnp.asarray(pose[:3, :4]), exp.near, exp.far,

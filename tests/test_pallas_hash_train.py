@@ -185,3 +185,31 @@ def test_hash_hier_render_grad_parity():
             np.asarray(a), np.asarray(b), atol=3e-5 * max(scale, 1.0),
             rtol=2e-4,
         )
+
+
+def test_hash_render_image_matches_direct_render():
+    """Full-image eval render (chunked, reshaped) == one direct deterministic
+    hierarchical render over the same rays; finite outputs, HxWx3 shape."""
+    from mvip_tpu.ops.pallas_hash_render import (
+        hash_render_image,
+        hash_train_hier_render,
+    )
+    from mvip_tpu.ops.rays import rays_for_pose
+
+    params = init_hashgrid_nerf(jax.random.PRNGKey(4), HCFG)
+    H, W, focal = 6, 9, 8.0
+    c2w = jnp.eye(4)[:3, :4].at[2, 3].set(3.0)
+    img = hash_render_image(params, params, HCFG, H, W, focal, c2w, 1.0, 5.0,
+                            8, 8, white_bkgd=True, chunk=16, interpret=True)
+    assert img["rgb"].shape == (H, W, 3)
+    assert img["depth"].shape == (H, W)
+    for v in img.values():
+        assert np.isfinite(np.asarray(v)).all()
+    ro, rd = rays_for_pose(H, W, focal, c2w)
+    direct = hash_train_hier_render(
+        None, params, params, HCFG, ro.reshape(-1, 3), rd.reshape(-1, 3),
+        1.0, 5.0, 8, 8, perturb=0.0, raw_noise_std=0.0, white_bkgd=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(img["rgb"]).reshape(-1, 3),
+                               np.asarray(direct["rgb"]), rtol=1e-5, atol=1e-6)
