@@ -479,15 +479,20 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     "semantic guidance)"
                 )
             fused_mlp_cfg = None
-            if cfg.use_pallas and mesh.size == 1 and fused_guidance_supported(
+            if cfg.use_pallas and fused_guidance_supported(
                 exp.ropts, exp.backbone, exp.model_cfg
             ):
                 fused_mlp_cfg = exp.model_cfg
-                phase("guidance renders on fused Pallas megakernels")
+                phase(
+                    "guidance renders on fused Pallas megakernels"
+                    + (f" (shard_map over {mesh.size} devices)"
+                       if mesh.size > 1 else "")
+                )
             train_step = make_mvip_train_step(
                 exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply, optimizer,
                 mcfg, gm, s_rgb, s_nrm, s_col, pair_rgb, pair_nrm,
                 fused_mlp_cfg=fused_mlp_cfg,
+                mesh=mesh if mesh.size > 1 else None,
             )
             if int(cfg.megastep) > 1:
                 log_fn(

@@ -158,6 +158,10 @@ def make_mvip_train_step(
     fused_mlp_cfg=None,              # NeRFMLPConfig | HashGridConfig =>
                                      # guidance renders run on the Pallas
                                      # megakernels (VERDICT r1 #3)
+    mesh=None,                       # 1-D data mesh with size > 1 => fused
+                                     # guidance renders shard the ray axis
+                                     # via shard_map (grads psum over ICI)
+    interpret: bool = False,         # CPU interpret mode for the fused path
 ):
     """Build the jitted MVIP step: (state, streams, key, i) -> (state, metrics)."""
     H, W, focal = scfg.H, scfg.W, scfg.focal
@@ -180,15 +184,66 @@ def make_mvip_train_step(
                     hash_train_hier_render as hier_render,
                 )
 
-            def guided_render(kk, ro, rd, keep):
-                pf = params["fine"] if params.get("fine") else params["coarse"]
-                out = hier_render(
-                    kk, params["coarse"], pf, fused_mlp_cfg, ro, rd,
+            def _hier(p, kk, ro, rd):
+                pf = p["fine"] if p.get("fine") else p["coarse"]
+                return hier_render(
+                    kk, p["coarse"], pf, fused_mlp_cfg, ro, rd,
                     scfg.near, scfg.far, ropts.n_samples, ropts.n_importance,
                     perturb=ropts.perturb, raw_noise_std=ropts.raw_noise_std,
                     lindisp=ropts.lindisp, white_bkgd=ropts.white_bkgd,
+                    interpret=interpret,
                 )
-                return {k: out[k] for k in keep}
+
+            if mesh is not None and mesh.size > 1:
+                # Multi-chip fused guidance renders (ROADMAP r2 #5): each
+                # device renders a 1/n_devices ray slice on the Pallas
+                # kernels (the Pallas grid does not auto-partition under
+                # GSPMD, so manual shard_map is required); shard_map's
+                # transpose psums the replicated-params cotangent over ICI
+                # — the same data-parallel gradient the XLA fallback gets
+                # from sharding constraints. The SDS UNet/VAE pass stays
+                # replicated (it consumes the all-gathered composite).
+                from jax.sharding import PartitionSpec as P
+
+                try:
+                    from jax import shard_map
+
+                    sm_kwargs = {"check_vma": False}
+                except ImportError:  # older jax
+                    from jax.experimental.shard_map import shard_map
+
+                    sm_kwargs = {"check_rep": False}
+                axis = mesh.axis_names[0]
+                n_dev = mesh.size
+
+                def guided_render(kk, ro, rd, keep):
+                    n = ro.shape[0]
+                    n_pad = -(-n // n_dev) * n_dev
+                    if n_pad > n:
+                        pad = n_pad - n
+                        ro = jnp.concatenate(
+                            [ro, jnp.broadcast_to(ro[-1:], (pad, 3))]
+                        )
+                        rd = jnp.concatenate(
+                            [rd, jnp.broadcast_to(rd[-1:], (pad, 3))]
+                        )
+
+                    def slice_render(p, k, o, d):
+                        # distinct stochastic draws per device slice
+                        k = jax.random.fold_in(k, jax.lax.axis_index(axis))
+                        out = _hier(p, k, o, d)
+                        return {kk2: out[kk2] for kk2 in keep}
+
+                    out = shard_map(
+                        slice_render, mesh=mesh,
+                        in_specs=(P(), P(), P(axis), P(axis)),
+                        out_specs=P(axis), **sm_kwargs,
+                    )(params, kk, ro, rd)
+                    return {k2: v[:n] for k2, v in out.items()}
+            else:
+                def guided_render(kk, ro, rd, keep):
+                    out = _hier(params, kk, ro, rd)
+                    return {k: out[k] for k in keep}
         else:
             def guided_render(kk, ro, rd, keep):
                 return _render_chunked_remat(

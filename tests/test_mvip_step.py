@@ -8,6 +8,7 @@ renders -> collaborative SDS, plus base MSE/depth losses and the Adam update.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvip_tpu.data.rays import build_ray_streams
 from mvip_tpu.guidance.sds import SDSConfig, make_guidance_models
@@ -152,6 +153,88 @@ def test_mvip_step_maskfree_view(key):
         state, metrics = step(state, streams, jax.random.fold_in(key, i),
                               jnp.asarray(i + 1))
         assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow  # ~6 min: two full interpret-mode fused guidance steps x2
+def test_mvip_step_fused_guidance_multichip(key):
+    """shard_map'd fused guidance renders (ROADMAP r2 #5): on the 8-device
+    CPU mesh, the sharded-ray-axis fused path must reproduce the
+    single-device fused path — same loss, same updated params — under
+    deterministic rendering (perturb=0, no sigma noise), where the
+    per-device key fold-in cannot change any drawn value. Replaces the
+    reference's `nn.DataParallel` scatter (`DS_NeRF/run.py:43-46`) for the
+    guidance-on hot loop."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+
+    images, masks, depths, poses, focal = _tiny_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+
+    mc = NeRFMLPConfig(depth=2, width=32, multires=4, multires_views=2)
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mc),
+        "fine": init_nerf_mlp(jax.random.PRNGKey(2), mc),
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mc, pts, vd)
+
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+
+    # deterministic rendering: per-device key fold-in is a no-op
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=0.0,
+                          raw_noise_std=0.0)
+    scfg = StepConfig(n_rand=32, depth_loss=True, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(
+        sds_loss_weight=1e-4,
+        is_rgb_guidance=True,
+        is_normal_guidance=True, normal_start=0, normalmap_render_factor=2,
+        normal_k=5,
+        is_colla_guidance=True, colla_n_views=3, colla_render_factor=2,
+        render_chunk=64,
+    )
+    optimizer = make_optimizer(5e-3, 250)
+
+    def run(use_mesh):
+        step = make_mvip_train_step(
+            scfg, ropts, apply_fn, apply_fn, optimizer, mcfg, gm,
+            scfg_sds, scfg_sds, scfg_sds, te, te,
+            fused_mlp_cfg=mc, mesh=mesh if use_mesh else None,
+            interpret=True,
+        )
+        state = create_train_state(jax.tree.map(jnp.copy, params), optimizer)
+        with mesh:
+            for i in range(2):
+                state, metrics = step(
+                    state, streams, jax.random.fold_in(key, i),
+                    jnp.asarray(i + 1),
+                )
+        return state, metrics
+
+    s1, m1 = run(False)
+    s8, m8 = run(True)
+    assert np.isfinite(float(m8["loss"]))
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m8["sds_rgb"]), float(m1["sds_rgb"]),
+                               rtol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+        ),
+        s8.params, s1.params,
+    )
 
 
 def test_mvip_step_normal_gating(key):
