@@ -34,58 +34,14 @@ from mvip_tpu.ops.pallas_hash_train import (
     _grad_shapes,
     _unflatten_nets,
     names_grads,
+    nets_backward,
+    nets_forward as _nets_forward,
+    reassemble_net_grads,
 )
 from mvip_tpu.ops.pallas_train import (
-    accum_ref,
     composite_bwd,
     composite_fwd,
-    dense_bwd_prec,
 )
-
-
-def _nets_forward(nets, enc, sh_p, geo_dim, sh_dim, save=None):
-    """sigma net -> split heads -> SH color net; optionally record residues."""
-    s_layers, c_layers = nets["sigma_net"], nets["color_net"]
-
-    def dense(p, x):
-        return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
-
-    h = enc
-    for i, layer in enumerate(s_layers):
-        if save is not None:
-            save.setdefault("sig_in", []).append(h)
-        pre = dense(layer, h)
-        if i < len(s_layers) - 1:
-            h = jax.nn.relu(pre)
-            if save is not None:
-                save.setdefault("sig_mask", []).append(pre > 0)
-    out1 = pre
-    sigma_raw = out1[:, 0]
-    geo = out1[:, 1:]
-
-    c0 = c_layers[0]
-    w_sh = c0["w"][:sh_dim]
-    w_geo = c0["w"][sh_dim:]
-    pre_c = (
-        jnp.dot(sh_p, w_sh, preferred_element_type=jnp.float32)
-        + jnp.dot(geo, w_geo, preferred_element_type=jnp.float32)
-        + c0["b"]
-    )
-    h = jax.nn.relu(pre_c)
-    if save is not None:
-        save["geo"] = geo
-        save.setdefault("col_in", []).append(None)
-        save.setdefault("col_mask", []).append(pre_c > 0)
-    for i, layer in enumerate(c_layers[1:], start=1):
-        if save is not None:
-            save["col_in"].append(h)
-        pre = dense(layer, h)
-        if i < len(c_layers) - 1:
-            h = jax.nn.relu(pre)
-            if save is not None:
-                save["col_mask"].append(pre > 0)
-    rgb_raw = pre
-    return sigma_raw, rgb_raw, w_geo
 
 
 def _hash_render_kernel(rd_ref, z_ref, noise_ref, sh_ref, enc_ref, *refs,
@@ -124,7 +80,6 @@ def _hash_render_bwd_kernel(rd_ref, z_ref, noise_ref, sh_ref, enc_ref,
     denc_ref = refs[n_params]
     grad_refs = refs[n_params + 1:]
     nets = _unflatten_nets(param_refs, names)
-    s_layers, c_layers = nets["sigma_net"], nets["color_net"]
 
     rd = rd_ref[:]
     z = z_ref[:]
@@ -155,47 +110,8 @@ def _hash_render_bwd_kernel(rd_ref, z_ref, noise_ref, sh_ref, enc_ref,
 
     first = pl.program_id(0) == 0
     gref = {name: ref for name, ref in zip(names_grads(names), grad_refs)}
-
-    g = g_rgb_raw
-    for i in reversed(range(1, len(c_layers))):
-        gw, gb, g = dense_bwd_prec(c_layers[i], save["col_in"][i], g)
-        accum_ref(gref[("color_net", i, "w")], gw, first)
-        accum_ref(gref[("color_net", i, "b")], gb, first)
-        g = g * save["col_mask"][i - 1]
-    gw_sh = jax.lax.dot_general(sh_p, g, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    gw_geo = jax.lax.dot_general(save["geo"], g, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    accum_ref(gref[("color0_w_sh",)], gw_sh, first)
-    accum_ref(gref[("color0_w_geo",)], gw_geo, first)
-    accum_ref(gref[("color_net", 0, "b")], jnp.sum(g, 0), first)
-    g_geo = jax.lax.dot_general(g, w_geo, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-
-    last = len(s_layers) - 1
-    w_last = s_layers[last]["w"]
-    h_in = save["sig_in"][last]
-    gw_s = jax.lax.dot_general(h_in, g_sigma, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    gw_g = jax.lax.dot_general(h_in, g_geo, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    accum_ref(gref[("sigma_last_w_sigma",)], gw_s, first)
-    accum_ref(gref[("sigma_last_w_geo",)], gw_g, first)
-    accum_ref(gref[("sigma_last_b_sigma",)], jnp.sum(g_sigma, 0), first)
-    accum_ref(gref[("sigma_last_b_geo",)], jnp.sum(g_geo, 0), first)
-    g_h = (
-        jax.lax.dot_general(g_sigma, w_last[:, 0:1], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(g_geo, w_last[:, 1:], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    )
-    for i in reversed(range(last)):
-        g_pre = g_h * save["sig_mask"][i]
-        gw, gb, g_h = dense_bwd_prec(s_layers[i], save["sig_in"][i], g_pre)
-        accum_ref(gref[("sigma_net", i, "w")], gw, first)
-        accum_ref(gref[("sigma_net", i, "b")], gb, first)
-
-    denc_ref[:] = g_h
+    denc_ref[:] = nets_backward(nets, save, sh_p, w_geo, g_sigma, g_rgb_raw,
+                                gref, first)
 
 
 def _pad_ray_arrays(blk, S, E, sh_dim, rd, z, noise, sh, enc, extra=()):
@@ -295,39 +211,7 @@ def _render_bwd_call(nets, rd, z, noise, sh, enc, cots, geo_dim, sh_dim,
         interpret=interpret,
     )(rd, z, noise, sh, enc, g_rgb, g_disp, g_acc, g_depth, *leaves)
     d_enc = outs[0][: N * S]
-    gleaves = dict(zip(names_grads(names), outs[1:]))
-
-    s_idx = max(i for (net, i, _) in names if net == "sigma_net")
-    grads = {"sigma_net": [], "color_net": []}
-    for i in range(s_idx + 1):
-        if i == s_idx:
-            grads["sigma_net"].append({
-                "w": jnp.concatenate(
-                    [gleaves[("sigma_last_w_sigma",)],
-                     gleaves[("sigma_last_w_geo",)]], axis=1),
-                "b": jnp.concatenate(
-                    [gleaves[("sigma_last_b_sigma",)],
-                     gleaves[("sigma_last_b_geo",)]]),
-            })
-        else:
-            grads["sigma_net"].append({
-                "w": gleaves[("sigma_net", i, "w")],
-                "b": gleaves[("sigma_net", i, "b")],
-            })
-    n_color = max(i for (net, i, _) in names if net == "color_net") + 1
-    for i in range(n_color):
-        if i == 0:
-            grads["color_net"].append({
-                "w": jnp.concatenate(
-                    [gleaves[("color0_w_sh",)], gleaves[("color0_w_geo",)]],
-                    axis=0),
-                "b": gleaves[("color_net", 0, "b")],
-            })
-        else:
-            grads["color_net"].append({
-                "w": gleaves[("color_net", i, "w")],
-                "b": gleaves[("color_net", i, "b")],
-            })
+    grads = reassemble_net_grads(names, dict(zip(names_grads(names), outs[1:])))
     return d_enc, grads
 
 

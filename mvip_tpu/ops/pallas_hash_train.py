@@ -74,6 +74,105 @@ def _unflatten_nets(refs, names):
     return {k: [v[i] for i in sorted(v)] for k, v in out.items()}
 
 
+def nets_forward(nets, enc, sh_p, geo_dim, sh_dim, save=None):
+    """sigma net -> split [sigma | geo] heads -> SH color net (first layer
+    split over the (sh | geo) inputs — no in-kernel lane concat); optionally
+    records residues for `nets_backward`. Shared by the train kernel here and
+    the render kernels in `pallas_hash_render`."""
+    s_layers, c_layers = nets["sigma_net"], nets["color_net"]
+
+    def dense(p, x):
+        return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+
+    h = enc
+    for i, layer in enumerate(s_layers):
+        if save is not None:
+            save.setdefault("sig_in", []).append(h)
+        pre = dense(layer, h)
+        if i < len(s_layers) - 1:
+            h = jax.nn.relu(pre)
+            if save is not None:
+                save.setdefault("sig_mask", []).append(pre > 0)
+    out1 = pre                                              # [P, 1+G]
+    sigma_raw = out1[:, 0]
+    geo = out1[:, 1:]                                       # [P, G]
+
+    c0 = c_layers[0]
+    w_sh = c0["w"][:sh_dim]                                 # [SH, H]
+    w_geo = c0["w"][sh_dim:]                                # [G, H]
+    pre_c = (
+        jnp.dot(sh_p, w_sh, preferred_element_type=jnp.float32)
+        + jnp.dot(geo, w_geo, preferred_element_type=jnp.float32)
+        + c0["b"]
+    )
+    h = jax.nn.relu(pre_c)
+    if save is not None:
+        save["geo"] = geo
+        save.setdefault("col_in", []).append(None)
+        save.setdefault("col_mask", []).append(pre_c > 0)
+    for i, layer in enumerate(c_layers[1:], start=1):
+        if save is not None:
+            save["col_in"].append(h)
+        pre = dense(layer, h)
+        if i < len(c_layers) - 1:
+            h = jax.nn.relu(pre)
+            if save is not None:
+                save["col_mask"].append(pre > 0)
+    rgb_raw = pre                                           # [P, 3]
+    return sigma_raw, rgb_raw, w_geo
+
+
+def nets_backward(nets, save, sh_p, w_geo, g_sigma, g_rgb_raw, gref, first):
+    """Full network backward from (g_sigma [P,1], g_rgb_raw [P,3]) cotangents
+    to accumulated grad refs; returns d_enc [P, E]. The split-head gradient
+    layout (sigma-last / color-first pieces) matches `names_grads`. Shared by
+    `_hash_train_kernel` and `pallas_hash_render._hash_render_bwd_kernel`."""
+    s_layers, c_layers = nets["sigma_net"], nets["color_net"]
+
+    # color net, last..second layers
+    g = g_rgb_raw
+    for i in reversed(range(1, len(c_layers))):
+        gw, gb, g = dense_bwd_prec(c_layers[i], save["col_in"][i], g)
+        accum_ref(gref[("color_net", i, "w")], gw, first)
+        accum_ref(gref[("color_net", i, "b")], gb, first)
+        g = g * save["col_mask"][i - 1]
+    # color first layer: split input (sh has no params upstream; geo does)
+    gw_sh = jax.lax.dot_general(sh_p, g, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    gw_geo = jax.lax.dot_general(save["geo"], g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    accum_ref(gref[("color0_w_sh",)], gw_sh, first)
+    accum_ref(gref[("color0_w_geo",)], gw_geo, first)
+    accum_ref(gref[("color_net", 0, "b")], jnp.sum(g, 0), first)
+    g_geo = jax.lax.dot_general(g, w_geo, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [P, G]
+
+    # sigma net last layer: [sigma | geo] heads kept separate (no lane concat)
+    last = len(s_layers) - 1
+    w_last = s_layers[last]["w"]                            # [H, 1+G]
+    h_in = save["sig_in"][last]
+    gw_s = jax.lax.dot_general(h_in, g_sigma, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)   # [H, 1]
+    gw_g = jax.lax.dot_general(h_in, g_geo, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)   # [H, G]
+    accum_ref(gref[("sigma_last_w_sigma",)], gw_s, first)
+    accum_ref(gref[("sigma_last_w_geo",)], gw_g, first)
+    accum_ref(gref[("sigma_last_b_sigma",)], jnp.sum(g_sigma, 0), first)
+    accum_ref(gref[("sigma_last_b_geo",)], jnp.sum(g_geo, 0), first)
+    g_h = (
+        jax.lax.dot_general(g_sigma, w_last[:, 0:1], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(g_geo, w_last[:, 1:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    for i in reversed(range(last)):
+        g_pre = g_h * save["sig_mask"][i]
+        gw, gb, g_h = dense_bwd_prec(s_layers[i], save["sig_in"][i], g_pre)
+        accum_ref(gref[("sigma_net", i, "w")], gw, first)
+        accum_ref(gref[("sigma_net", i, "b")], gb, first)
+    return g_h
+
+
 def _hash_train_kernel(rd_ref, z_ref, noise_ref, sh_ref, enc_ref, trgb_ref,
                        tdisp_ref, tdepth_ref, srgb_ref, sdisp_ref, sdepth_ref,
                        *refs, n_params: int, names, geo_dim: int, sh_dim: int,
@@ -84,7 +183,6 @@ def _hash_train_kernel(rd_ref, z_ref, noise_ref, sh_ref, enc_ref, trgb_ref,
     denc_ref = refs[n_params + 2]
     grad_refs = refs[n_params + 3:]
     nets = _unflatten_nets(param_refs, names)
-    s_layers, c_layers = nets["sigma_net"], nets["color_net"]
 
     rd = rd_ref[:]
     z = z_ref[:]
@@ -95,40 +193,10 @@ def _hash_train_kernel(rd_ref, z_ref, noise_ref, sh_ref, enc_ref, trgb_ref,
     sh = sh_ref[:]                                          # [R, SH]
     sh_p = jnp.broadcast_to(sh[:, None, :], (R, S, sh_dim)).reshape(P, sh_dim)
 
-    def dense(p, x):
-        return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
-
-    # ---- sigma net forward (relu between layers, raw last) ----
-    h = enc
-    sig_in, sig_mask = [], []
-    for i, layer in enumerate(s_layers):
-        sig_in.append(h)
-        pre = dense(layer, h)
-        if i < len(s_layers) - 1:
-            h = jax.nn.relu(pre)
-            sig_mask.append(pre > 0)
-    out1 = pre                                              # [P, 1+G]
-    sigma_raw = out1[:, 0]
-    geo = out1[:, 1:]                                       # [P, G]
-
-    # ---- color net forward; first layer split over (sh | geo) inputs ----
-    c0 = c_layers[0]
-    w_sh = c0["w"][:sh_dim]                                 # [SH, H]
-    w_geo = c0["w"][sh_dim:]                                # [G, H]
-    pre_c = (
-        jnp.dot(sh_p, w_sh, preferred_element_type=jnp.float32)
-        + jnp.dot(geo, w_geo, preferred_element_type=jnp.float32)
-        + c0["b"]
+    save = {}
+    sigma_raw, rgb_raw, w_geo = nets_forward(
+        nets, enc, sh_p, geo_dim, sh_dim, save
     )
-    h = jax.nn.relu(pre_c)
-    col_in, col_mask = [None], [pre_c > 0]
-    for i, layer in enumerate(c_layers[1:], start=1):
-        col_in.append(h)
-        pre = dense(layer, h)
-        if i < len(c_layers) - 1:
-            h = jax.nn.relu(pre)
-            col_mask.append(pre > 0)
-    rgb_raw = pre                                           # [P, 3]
 
     # ---- composite + loss (shared with the MLP train kernel) ----
     sigma_noisy = sigma_raw.reshape(R, S) + noise
@@ -148,54 +216,11 @@ def _hash_train_kernel(rd_ref, z_ref, noise_ref, sh_ref, enc_ref, trgb_ref,
     g_sigma = sigmabar.reshape(P, 1)
     g_rgb_raw = cbar.reshape(P, 3)
 
-    # ---- backward ----
+    # ---- backward (shared helper) ----
     first = pl.program_id(0) == 0
     gref = {name: ref for name, ref in zip(names_grads(names), grad_refs)}
-
-    def accum(name, g_w, g_b=None):
-        accum_ref(gref[name + ("w",)], g_w, first)
-        if g_b is not None:
-            accum_ref(gref[name + ("b",)], g_b, first)
-
-    # color net, last..second layers
-    g = g_rgb_raw
-    for i in reversed(range(1, len(c_layers))):
-        gw, gb, g = dense_bwd_prec(c_layers[i], col_in[i], g)
-        accum(("color_net", i), gw, gb)
-        g = g * col_mask[i - 1]
-    # color first layer: split input (sh has no params upstream; geo does)
-    gw_sh = jax.lax.dot_general(sh_p, g, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    gw_geo = jax.lax.dot_general(geo, g, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    accum_ref(gref[("color0_w_sh",)], gw_sh, first)
-    accum_ref(gref[("color0_w_geo",)], gw_geo, first)
-    accum_ref(gref[("color_net", 0, "b")], jnp.sum(g, 0), first)
-    g_geo = jax.lax.dot_general(g, w_geo, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [P, G]
-
-    # sigma net last layer: [sigma | geo] heads kept separate (no lane concat)
-    last = len(s_layers) - 1
-    w_last = s_layers[last]["w"]                            # [H, 1+G]
-    h_in = sig_in[last]
-    gw_s = jax.lax.dot_general(h_in, g_sigma, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)   # [H, 1]
-    gw_g = jax.lax.dot_general(h_in, g_geo, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)   # [H, G]
-    accum_ref(gref[("sigma_last_w_sigma",)], gw_s, first)
-    accum_ref(gref[("sigma_last_w_geo",)], gw_g, first)
-    accum_ref(gref[("sigma_last_b_sigma",)], jnp.sum(g_sigma, 0), first)
-    accum_ref(gref[("sigma_last_b_geo",)], jnp.sum(g_geo, 0), first)
-    g_h = (
-        jax.lax.dot_general(g_sigma, w_last[:, 0:1], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(g_geo, w_last[:, 1:], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    )
-    for i in reversed(range(last)):
-        g_pre = g_h * sig_mask[i]
-        gw, gb, g_h = dense_bwd_prec(s_layers[i], sig_in[i], g_pre)
-        accum(("sigma_net", i), gw, gb)
+    g_h = nets_backward(nets, save, sh_p, w_geo, g_sigma, g_rgb_raw, gref,
+                        first)
 
     # ---- outputs ----
     weights_ref[:] = w
@@ -220,6 +245,43 @@ def names_grads(names) -> Tuple:
         else:
             out.append(name)
     return tuple(out)
+
+
+def reassemble_net_grads(names, gleaves):
+    """Rebuild the {sigma_net, color_net} layer-list gradient pytree from the
+    split kernel outputs (concat is free out here in XLA)."""
+    s_idx = max(i for (net, i, _) in names if net == "sigma_net")
+    grads = {"sigma_net": [], "color_net": []}
+    for i in range(s_idx + 1):
+        if i == s_idx:
+            grads["sigma_net"].append({
+                "w": jnp.concatenate(
+                    [gleaves[("sigma_last_w_sigma",)],
+                     gleaves[("sigma_last_w_geo",)]], axis=1),
+                "b": jnp.concatenate(
+                    [gleaves[("sigma_last_b_sigma",)],
+                     gleaves[("sigma_last_b_geo",)]]),
+            })
+        else:
+            grads["sigma_net"].append({
+                "w": gleaves[("sigma_net", i, "w")],
+                "b": gleaves[("sigma_net", i, "b")],
+            })
+    n_color = max(i for (net, i, _) in names if net == "color_net") + 1
+    for i in range(n_color):
+        if i == 0:
+            grads["color_net"].append({
+                "w": jnp.concatenate(
+                    [gleaves[("color0_w_sh",)], gleaves[("color0_w_geo",)]],
+                    axis=0),
+                "b": gleaves[("color_net", 0, "b")],
+            })
+        else:
+            grads["color_net"].append({
+                "w": gleaves[("color_net", i, "w")],
+                "b": gleaves[("color_net", i, "b")],
+            })
+    return grads
 
 
 def _grad_shapes(leaves, names, geo_dim, sh_dim):
@@ -325,40 +387,7 @@ def hash_mlp_train_grads(
       s_rgb[:, None], s_disp[:, None], s_depth[:, None], *leaves)
 
     weights, sq, d_enc = outs[0], outs[1], outs[2]
-    gleaves = dict(zip(gnames, outs[3:]))
-
-    # reassemble the split gradient pieces in XLA (concat is free out here)
-    s_idx = max(i for (net, i, _) in names if net == "sigma_net")
-    grads = {"sigma_net": [], "color_net": []}
-    for i in range(s_idx + 1):
-        if i == s_idx:
-            grads["sigma_net"].append({
-                "w": jnp.concatenate(
-                    [gleaves[("sigma_last_w_sigma",)],
-                     gleaves[("sigma_last_w_geo",)]], axis=1),
-                "b": jnp.concatenate(
-                    [gleaves[("sigma_last_b_sigma",)],
-                     gleaves[("sigma_last_b_geo",)]]),
-            })
-        else:
-            grads["sigma_net"].append({
-                "w": gleaves[("sigma_net", i, "w")],
-                "b": gleaves[("sigma_net", i, "b")],
-            })
-    n_color = max(i for (net, i, _) in names if net == "color_net") + 1
-    for i in range(n_color):
-        if i == 0:
-            grads["color_net"].append({
-                "w": jnp.concatenate(
-                    [gleaves[("color0_w_sh",)], gleaves[("color0_w_geo",)]],
-                    axis=0),
-                "b": gleaves[("color_net", 0, "b")],
-            })
-        else:
-            grads["color_net"].append({
-                "w": gleaves[("color_net", i, "w")],
-                "b": gleaves[("color_net", i, "b")],
-            })
+    grads = reassemble_net_grads(names, dict(zip(gnames, outs[3:])))
 
     metrics = {
         "weights": weights[:N],
