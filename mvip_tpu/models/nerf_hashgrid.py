@@ -274,6 +274,7 @@ def apply_hashgrid_nerf(
             params["table"].astype(jnp.float32), x01, resolutions,
             use_dense.astype(jnp.int32), cfg.table_size,
             block=max(cfg.fused_block, 1024), compute_dtype=cfg.fused_dtype,
+            res_static=cfg.resolutions,
         )
     else:
         enc = hashgrid_encode(

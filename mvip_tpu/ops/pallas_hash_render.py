@@ -228,7 +228,7 @@ def _encode_inputs(params, hcfg, rays_o, rays_d, z_vals, interpret):
     enc = _encode_fwd_t(params["table"].astype(jnp.float32), x01, res_arr,
                         dense_i, table_size=hcfg.table_size,
                         block=hcfg.fused_block, compute_dtype=hcfg.fused_dtype,
-                        interpret=interpret)
+                        interpret=interpret, res_static=hcfg.resolutions)
     vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     sh = sh_encoding(vd, hcfg.sh_degree)
     return x01, enc, sh, res_arr, dense_i
@@ -273,6 +273,7 @@ def _htr_bwd(hcfg, white_bkgd, block_rays, interpret, fast_bwd, res, cots):
         x01, d_enc, res_arr, dense_i, L=hcfg.n_levels, F=hcfg.n_features,
         table_size=hcfg.table_size, block=hcfg.fused_block,
         compute_dtype=hcfg.fused_dtype, interpret=interpret,
+        res_static=hcfg.resolutions,
     )
     grads = {"table": d_table.astype(params["table"].dtype), **net_grads}
     return (grads, jnp.zeros_like(rays_o), jnp.zeros_like(rays_d),

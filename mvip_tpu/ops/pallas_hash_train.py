@@ -433,7 +433,8 @@ def hash_fused_render_grads(
 
     enc = _encode_fwd_t(table, x01, res_arr, dense_i,
                         table_size=hcfg.table_size, block=hcfg.fused_block,
-                        compute_dtype=hcfg.fused_dtype, interpret=interpret)
+                        compute_dtype=hcfg.fused_dtype, interpret=interpret,
+                        res_static=hcfg.resolutions)
     vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     sh = sh_encoding(vd, hcfg.sh_degree)
 
@@ -448,6 +449,7 @@ def hash_fused_render_grads(
         x01, d_enc, res_arr, dense_i, L=hcfg.n_levels, F=hcfg.n_features,
         table_size=hcfg.table_size, block=hcfg.fused_block,
         compute_dtype=hcfg.fused_dtype, interpret=interpret,
+        res_static=hcfg.resolutions,
     )
     grads = {"table": d_table.astype(params["table"].dtype), **net_grads}
     return metrics, grads

@@ -68,6 +68,43 @@ def _cap_block(block: int, BT: int) -> int:
     return min(block, cap)
 
 
+def _level_groups(res_static, T: int, RE: int):
+    """Partition levels into contiguous groups of equal trimmed slab width.
+
+    A dense level only ever addresses its first (res+1)^3 table entries, so
+    its one-hot gather matmul can run against a lane-trimmed slab
+    tblT[:, :BT_l] instead of the full [128, T/RE] — the gather/scatter MAC
+    cost is linear in the slab width. tcnn gets the same effect for free from
+    random-access gathers (`DS_NeRF/run_nerf_helpers_tcnn.py:36-47`); on the
+    MXU it has to be static shape trimming. Levels are grouped contiguously
+    by equal padded width (resolutions ascend, so dense levels prefix the
+    list) and each group becomes one pallas_call.
+
+    Returns a list of (start, stop, BT_group) or None when trimming cannot
+    help (no static resolutions, tiny table, or every level already full).
+    """
+    BT_full = T // RE
+    if res_static is None or BT_full < 256:
+        return None
+    bts = []
+    for r in res_static:
+        n = (int(r) + 1) ** 3
+        if n <= T:  # dense level: indices stay inside the first n entries
+            rows = -(-n // RE)
+            bts.append(min(BT_full, -(-rows // 128) * 128))
+        else:
+            bts.append(BT_full)
+    if all(bt == BT_full for bt in bts):
+        return None
+    groups = []
+    for i, bt in enumerate(bts):
+        if groups and groups[-1][2] == bt:
+            groups[-1] = (groups[-1][0], i + 1, bt)
+        else:
+            groups.append((i, i + 1, bt))
+    return groups
+
+
 def _corner_math_t(xs, ys, zs, res, c):
     """One corner's (hi-input) index + trilinear weight, all [1, B] lane rows.
 
@@ -211,9 +248,9 @@ def _specs_t(B, BT, L, F):
 
 
 @partial(jax.jit, static_argnames=("table_size", "block", "compute_dtype",
-                                   "interpret"))
+                                   "interpret", "res_static"))
 def _encode_fwd_t(table, x, res_arr, dense_arr, *, table_size, block,
-                  compute_dtype, interpret):
+                  compute_dtype, interpret, res_static=None):
     L, T, F = table.shape
     if 128 % F:
         raise ValueError(f"n_features={F} must divide 128 for the fused path")
@@ -222,26 +259,31 @@ def _encode_fwd_t(table, x, res_arr, dense_arr, *, table_size, block,
     block = _cap_block(block, BT)
     tblT = table_to_lanes(table)
     xT, NB, _ = _pad_cols(x.T, block)              # [3, NB*block]
-    smem, x_spec, tbl_spec, g_spec = _specs_t(block, BT, L, F)
-    out = pl.pallas_call(
-        partial(_fwd_kernel_t, T=T, F=F, RE=RE, BT=BT,
-                compute_dtype=jnp.dtype(compute_dtype)),
-        grid=(L, NB),
-        in_specs=[smem, smem, x_spec, tbl_spec],
-        out_specs=g_spec,
-        out_shape=jax.ShapeDtypeStruct((L, F, NB * block), jnp.float32),
-        compiler_params=_compiler_params(BT),
-        interpret=interpret,
-    )(res_arr, dense_arr, xT, tblT)
+    groups = _level_groups(res_static, T, RE) or [(0, L, BT)]
+    outs = []
+    for (s, e, BTg) in groups:
+        Lg = e - s
+        smem, x_spec, tbl_spec, g_spec = _specs_t(block, BTg, Lg, F)
+        outs.append(pl.pallas_call(
+            partial(_fwd_kernel_t, T=T, F=F, RE=RE, BT=BTg,
+                    compute_dtype=jnp.dtype(compute_dtype)),
+            grid=(Lg, NB),
+            in_specs=[smem, smem, x_spec, tbl_spec],
+            out_specs=g_spec,
+            out_shape=jax.ShapeDtypeStruct((Lg, F, NB * block), jnp.float32),
+            compiler_params=_compiler_params(BTg),
+            interpret=interpret,
+        )(res_arr[s:e], dense_arr[s:e], xT, tblT[s:e, :, :BTg]))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
     N = x.shape[0]
     # [L, F, N] -> [N, L*F] (the one boundary relayout, done by XLA)
     return jnp.transpose(out[..., :N], (2, 0, 1)).reshape(N, L * F)
 
 
 @partial(jax.jit, static_argnames=("L", "F", "table_size", "block",
-                                   "compute_dtype", "interpret"))
+                                   "compute_dtype", "interpret", "res_static"))
 def _encode_bwd_table_t(x, g, res_arr, dense_arr, *, L, F, table_size, block,
-                        compute_dtype, interpret):
+                        compute_dtype, interpret, res_static=None):
     T = table_size
     RE = 128 // F
     BT = T // RE
@@ -250,48 +292,59 @@ def _encode_bwd_table_t(x, g, res_arr, dense_arr, *, L, F, table_size, block,
     # g [N, L*F] -> [L, F, N] (padded cols get zero cotangent: no grads)
     gT = jnp.transpose(g.reshape(g.shape[0], L, F), (1, 2, 0))
     gT, _, _ = _pad_cols(gT, block)
-    smem, x_spec, tbl_spec, g_spec = _specs_t(block, BT, L, F)
-    out = pl.pallas_call(
-        partial(_bwd_table_kernel_t, T=T, F=F, RE=RE, BT=BT,
-                compute_dtype=jnp.dtype(compute_dtype)),
-        grid=(L, NB),
-        in_specs=[smem, smem, x_spec, g_spec],
-        out_specs=tbl_spec,
-        out_shape=jax.ShapeDtypeStruct((L, 128, BT), jnp.float32),
-        compiler_params=_compiler_params(BT),
-        interpret=interpret,
-    )(res_arr, dense_arr, xT, gT)
+    groups = _level_groups(res_static, T, RE) or [(0, L, BT)]
+    outs = []
+    for (s, e, BTg) in groups:
+        Lg = e - s
+        smem, x_spec, tbl_spec, g_spec = _specs_t(block, BTg, Lg, F)
+        out_g = pl.pallas_call(
+            partial(_bwd_table_kernel_t, T=T, F=F, RE=RE, BT=BTg,
+                    compute_dtype=jnp.dtype(compute_dtype)),
+            grid=(Lg, NB),
+            in_specs=[smem, smem, x_spec, g_spec],
+            out_specs=tbl_spec,
+            out_shape=jax.ShapeDtypeStruct((Lg, 128, BTg), jnp.float32),
+            compiler_params=_compiler_params(BTg),
+            interpret=interpret,
+        )(res_arr[s:e], dense_arr[s:e], xT, gT[s:e])
+        if BTg < BT:  # entries beyond a dense level's range get zero grad
+            out_g = jnp.pad(out_g, ((0, 0), (0, 0), (0, BT - BTg)))
+        outs.append(out_g)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
     return lanes_to_table(out, T, F)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def hashgrid_encode_fused_t(table, x, res_arr, dense_arr, table_size,
                             block=1024, compute_dtype="float32",
-                            interpret=False):
+                            interpret=False, res_static=None):
     """Transposed fused-MXU hash-grid encode: x [N, 3] in [0,1] -> [N, L*F].
 
     Drop-in for `hashgrid_encode_fused` (same hashing/trilinear semantics);
-    see the module docstring for why this layout is faster."""
+    see the module docstring for why this layout is faster. `res_static`
+    (hashable tuple mirroring res_arr) enables dense-level slab trimming —
+    see `_level_groups`."""
     return _encode_fwd_t(table, x, res_arr, dense_arr, table_size=table_size,
                          block=block, compute_dtype=compute_dtype,
-                         interpret=interpret)
+                         interpret=interpret, res_static=res_static)
 
 
 def _fused_t_fwd(table, x, res_arr, dense_arr, table_size, block,
-                 compute_dtype, interpret):
+                 compute_dtype, interpret, res_static):
     out = _encode_fwd_t(table, x, res_arr, dense_arr, table_size=table_size,
                         block=block, compute_dtype=compute_dtype,
-                        interpret=interpret)
+                        interpret=interpret, res_static=res_static)
     return out, (table, x, res_arr, dense_arr)
 
 
-def _fused_t_bwd(table_size, block, compute_dtype, interpret, res, g):
+def _fused_t_bwd(table_size, block, compute_dtype, interpret, res_static,
+                 res, g):
     table, x, res_arr, dense_arr = res
     L, T, F = table.shape
     d_table = _encode_bwd_table_t(x, g, res_arr, dense_arr, L=L, F=F,
                                   table_size=table_size, block=block,
                                   compute_dtype=compute_dtype,
-                                  interpret=interpret)
+                                  interpret=interpret, res_static=res_static)
     # position gradient via the XLA encode's VJP (gather-only; DCE'd in the
     # train step where positions carry no parameter dependence) — same
     # argument as pallas_hashgrid._fused_bwd

@@ -77,6 +77,48 @@ def test_transposed_matches_first_gen():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_trimmed_dense_levels_match_xla():
+    """res_static enables dense-level slab trimming (`_level_groups`): dense
+    levels gather against a lane-trimmed table slab. Forward + both grads must
+    still match the XLA oracle, including clipped boundary points (x == 1.0,
+    the ADVICE.md corner-coord clamp case)."""
+    from mvip_tpu.ops.pallas_hashgrid_t import _level_groups
+
+    table, x, res_arr, dense, T = _setup(L=4, log2T=14, N=500, finest=64.0)
+    x = x.at[:3].set(jnp.asarray([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0],
+                                  [1.0, 0.5, 0.0]]))
+    res_static = tuple(int(r) for r in res_arr)
+    groups = _level_groups(res_static, T, 64)
+    assert groups is not None and len(groups) > 1  # trimming actually engaged
+    assert any(bt < T // 64 for (_, _, bt) in groups)
+
+    g = jax.random.normal(jax.random.PRNGKey(3), (500, table.shape[0] * 2))
+
+    def loss_x(t, xx):
+        return jnp.sum(hashgrid_encode(t, xx, res_arr, T, dense) * g)
+
+    def loss_p(t, xx):
+        return jnp.sum(
+            hashgrid_encode_fused_t(
+                t, xx, res_arr, dense.astype(jnp.int32), T, block=256,
+                interpret=True, res_static=res_static,
+            ) * g
+        )
+
+    ref = hashgrid_encode(table, x, res_arr, T, dense)
+    out = hashgrid_encode_fused_t(
+        table, x, res_arr, dense.astype(jnp.int32), T, block=256,
+        interpret=True, res_static=res_static,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    gt_x, gx_x = jax.grad(loss_x, (0, 1))(table, x)
+    gt_p, gx_p = jax.grad(loss_p, (0, 1))(table, x)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gx_p), np.asarray(gx_x), rtol=1e-4, atol=1e-2
+    )
+
+
 def test_transposed_big_table_block_cap():
     """log2T > 16 shrinks the point block so the one-hot slab fits VMEM
     (tcnn-capacity 2^19 support); semantics stay oracle-exact."""
