@@ -258,6 +258,14 @@ def _encode_fwd_t(table, x, res_arr, dense_arr, *, table_size, block,
     BT = T // RE
     block = _cap_block(block, BT)
     tblT = table_to_lanes(table)
+    # A compute_dtype cast INSIDE the kernel is elided by Mosaic (measured:
+    # bf16 and f32 compute_dtype train bit-identically, BASELINE.md r2 notes).
+    # Casting the table slab OUTSIDE hands the kernel a genuinely-bf16 input
+    # block, so the gather matmul runs native-bf16 MXU passes with half the
+    # table DMA — the tcnn analogue of its fp16 hash tables
+    # (DS_NeRF/run_nerf_helpers_tcnn.py:36-47; tcnn stores __half entries).
+    if jnp.dtype(compute_dtype) != jnp.float32:
+        tblT = tblT.astype(compute_dtype)
     xT, NB, _ = _pad_cols(x.T, block)              # [3, NB*block]
     groups = _level_groups(res_static, T, RE) or [(0, L, BT)]
     outs = []

@@ -119,6 +119,21 @@ def test_trimmed_dense_levels_match_xla():
     )
 
 
+def test_bfloat16_table_operand_close_to_xla():
+    """compute_dtype=bfloat16 casts the table slab OUTSIDE the kernel (a real
+    bf16 MXU operand — in-kernel casts are elided by Mosaic; see BASELINE.md
+    r2 notes). Semantics must match the f32 oracle within bf16 table-value
+    rounding, mirroring tcnn's __half hash tables."""
+    table, x, res_arr, dense, T = _setup(N=500, log2T=14, finest=64.0)
+    ref = hashgrid_encode(table, x, res_arr, T, dense)
+    out = hashgrid_encode_fused_t(
+        table, x, res_arr, dense.astype(jnp.int32), T, block=256,
+        compute_dtype="bfloat16", interpret=True,
+        res_static=tuple(int(r) for r in res_arr),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
 def test_transposed_big_table_block_cap():
     """log2T > 16 shrinks the point block so the one-hot slab fits VMEM
     (tcnn-capacity 2^19 support); semantics stay oracle-exact."""
