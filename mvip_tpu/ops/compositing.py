@@ -30,12 +30,20 @@ class CompositeOutputs(NamedTuple):
 
 
 def render_weights(sigma: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
-                   noise: Optional[jnp.ndarray] = None) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """sigma [..., S], z_vals [..., S], rays_d [..., 3] -> (weights, alpha) [..., S]."""
-    dists = z_vals[..., 1:] - z_vals[..., :-1]
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[..., :1], 1e10)], -1
-    ) * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+                   noise: Optional[jnp.ndarray] = None,
+                   dists: Optional[jnp.ndarray] = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """sigma [..., S], z_vals [..., S], rays_d [..., 3] -> (weights, alpha) [..., S].
+
+    `dists` overrides the consecutive z-differences — occupancy pruning
+    (ops/occupancy.py) passes each surviving sample's ORIGINAL stratum width
+    so the quadrature is unchanged by compaction (a skipped zero-density
+    stratum then contributes exactly nothing, not a stretched neighbor)."""
+    if dists is None:
+        dists = z_vals[..., 1:] - z_vals[..., :-1]
+        dists = jnp.concatenate(
+            [dists, jnp.full_like(dists[..., :1], 1e10)], -1
+        )
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     if noise is not None:
         sigma = sigma + noise
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
@@ -55,12 +63,13 @@ def composite(
     white_bkgd: bool = False,
     detach_weights: bool = False,
     noise: Optional[jnp.ndarray] = None,
+    dists: Optional[jnp.ndarray] = None,
 ) -> CompositeOutputs:
     """raw [..., S, 4] (rgb logits + sigma), z_vals [..., S], rays_d [..., 3]."""
     sigma = raw[..., 3]
     if noise is None and raw_noise_std > 0.0:
         noise = jax.random.normal(key, sigma.shape, sigma.dtype) * raw_noise_std
-    weights, alpha = render_weights(sigma, z_vals, rays_d, noise)
+    weights, alpha = render_weights(sigma, z_vals, rays_d, noise, dists)
 
     rgb = jax.nn.sigmoid(raw[..., :3])
     w_rgb = jax.lax.stop_gradient(weights) if detach_weights else weights

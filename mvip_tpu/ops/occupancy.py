@@ -1,0 +1,166 @@
+"""Occupancy-grid sample pruning (instant-NGP-style, TPU-first, opt-in).
+
+The reference keeps vanilla NeRF's fixed 64+64 hierarchical sampling even on
+its tcnn hash-grid backbone (`DS_NeRF/run.py:1703-1847`); the tcnn ecosystem's
+usual companion — an EMA density grid that skips empty space (instant-ngp
+Sec. 3.1 / `nerfacc`-style estimators) — is absent. This module adds it as an
+opt-in accelerator (`--occ_grid`): same renderer, same losses, but each
+stage's z-samples are compacted to the occupied subset before the (encode-
+dominated) network query, cutting the per-step point load by the keep ratio.
+
+TPU-first shape discipline: pruning never produces ragged arrays. Every ray
+keeps exactly K = ceil(S * keep) samples, chosen as the occupied ones first
+(in depth order) and padded with the unoccupied ones (also in depth order)
+when fewer than K are occupied; a final in-register sort restores depth
+monotonicity for compositing. Skipped samples would contribute alpha ~ 0
+anyway wherever the grid is conservative, so the pruned composite converges
+to the unpruned one as the grid tightens.
+
+The grid itself is maintained the instant-ngp way — decay-all + max-update at
+probed cells, probing random cells with jittered positions — as pure XLA
+(gather for lookups, one scatter-max per refresh; no Pallas needed: the
+lookup is ~200k gathers per step, three orders of magnitude below the hash-
+encode load that justified the one-hot-matmul kernels).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class OccupancyConfig:
+    """Knobs for the occupancy estimator (defaults follow instant-ngp).
+
+    `bound`: half-extent of the grid AABB [-bound, bound]^3 (use the model's
+    hash-grid bound so grid cells and encode inputs agree). `keep`: fraction
+    of each stage's samples kept after pruning. `thresh`: density (post-relu
+    sigma) above which a cell counts occupied — 0.01 is conservative for
+    scenes in the reference's depth ranges; raise it to prune harder.
+    """
+
+    res: int = 128
+    bound: float = 100.0
+    keep: float = 0.5
+    thresh: float = 1e-2
+    decay: float = 0.95
+    update_every: int = 16
+    n_probe: int = 1 << 18
+    warmup: int = 256
+
+
+def init_grid(cfg: OccupancyConfig) -> jnp.ndarray:
+    """Flat [res^3] density EMA, zero-initialised (nothing occupied yet —
+    callers must not prune until after `warmup` refreshes-worth of steps)."""
+    return jnp.zeros((cfg.res**3,), jnp.float32)
+
+
+def _cell_of(pts: jnp.ndarray, res: int, bound: float) -> jnp.ndarray:
+    """[..., 3] world points -> [...] flat cell index (points outside the
+    AABB clamp to boundary cells, which stay occupied only if content sits
+    there — matches the encode path's own [0,1] clip)."""
+    x01 = jnp.clip((pts + bound) / (2.0 * bound), 0.0, 1.0)
+    ijk = jnp.minimum((x01 * res).astype(jnp.int32), res - 1)
+    return (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+
+
+def occ_lookup(grid: jnp.ndarray, pts: jnp.ndarray, cfg: OccupancyConfig):
+    """[..., 3] points -> [...] EMA density at the containing cell."""
+    return jnp.take(grid, _cell_of(pts, cfg.res, cfg.bound), axis=0)
+
+
+@partial(jax.jit, static_argnames=("keep", "res"), donate_argnums=())
+def _prune(grid, rays_o, rays_d, z_vals, *, keep: int, res: int,
+           bound: float, thresh: float):
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    occ = jnp.take(grid, _cell_of(pts, res, bound), axis=0) >= thresh  # [R, S]
+    # Occupied samples first (depth order), then unoccupied (depth order):
+    # span = far - near bounds every z, so adding it only to empty samples
+    # ranks all occupied ones ahead without disturbing intra-group order.
+    span = z_vals[..., -1:] - z_vals[..., :1] + 1.0
+    score = jnp.where(occ, z_vals, z_vals + span)
+    _, idx = jax.lax.top_k(-score, keep)                 # ascending score
+    # each sample keeps its ORIGINAL stratum width so the composite quadrature
+    # is invariant to compaction (see ops/compositing.render_weights)
+    dists = jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1],
+         jnp.full_like(z_vals[..., :1], 1e10)], -1,
+    )
+    kept_z = jnp.take_along_axis(z_vals, idx, axis=-1)
+    kept_d = jnp.take_along_axis(dists, idx, axis=-1)
+    # restore depth monotonicity (an empty-pad sample may precede an occupied
+    # one in z even though it scored later)
+    order = jnp.argsort(kept_z, axis=-1)
+    return (jnp.take_along_axis(kept_z, order, axis=-1),
+            jnp.take_along_axis(kept_d, order, axis=-1))
+
+
+def make_pruner(grid: jnp.ndarray, cfg: OccupancyConfig) -> Callable:
+    """Returns pruner(rays_o, rays_d, z_vals) -> (z [R, K], dists [R, K]) —
+    compacted z-samples plus their original stratum widths (K = ceil(S *
+    cfg.keep), static per input shape). Plugs into `RenderOptions.pruner`."""
+
+    def pruner(rays_o, rays_d, z_vals):
+        S = z_vals.shape[-1]
+        keep = max(8, min(S, -int(-S * cfg.keep)))
+        if keep >= S:
+            return z_vals, None
+        return _prune(grid, rays_o, rays_d, z_vals, keep=keep, res=cfg.res,
+                      bound=cfg.bound, thresh=cfg.thresh)
+
+    return pruner
+
+
+def update_grid(grid: jnp.ndarray, sigma_fn: Callable, key: jax.Array,
+                cfg: OccupancyConfig) -> jnp.ndarray:
+    """One instant-ngp-style refresh: decay every cell, then max the current
+    density into `n_probe` uniformly-drawn cells at jittered positions.
+
+    `sigma_fn(pts [M, 3]) -> [M]` post-activation density (the same quantity
+    the compositor exponentiates). Pure XLA: one gatherless query batch + one
+    scatter-max.
+    """
+    k_cell, k_jit = jax.random.split(key)
+    n_cells = cfg.res**3
+    idx = jax.random.randint(k_cell, (cfg.n_probe,), 0, n_cells)
+    k = idx % cfg.res
+    j = (idx // cfg.res) % cfg.res
+    i = idx // (cfg.res * cfg.res)
+    ijk = jnp.stack([i, j, k], -1).astype(jnp.float32)
+    u = jax.random.uniform(k_jit, (cfg.n_probe, 3))
+    x01 = (ijk + u) / cfg.res
+    pts = x01 * (2.0 * cfg.bound) - cfg.bound
+    sigma = sigma_fn(pts)
+    decayed = grid * cfg.decay
+    return decayed.at[idx].max(sigma.astype(grid.dtype))
+
+
+def dense_refresh(grid: jnp.ndarray, sigma_fn: Callable, key: jax.Array,
+                  cfg: OccupancyConfig, passes: int = 8) -> jnp.ndarray:
+    """Cover the whole grid quickly (eval from a checkpoint, resume): `passes`
+    sequential probe rounds; with n_probe = res^3 / 4 and 8 passes, ~87% of
+    cells get at least one direct probe and the rest stay at their decayed
+    zero init (conservatively unoccupied only where nothing was seen)."""
+    for p in range(passes):
+        grid = update_grid(grid, sigma_fn, jax.random.fold_in(key, p), cfg)
+    return grid
+
+
+def sigma_fn_from_apply(apply_fn, params) -> Callable:
+    """Adapt a backbone apply (params, pts, viewdirs) -> raw[..., 4] into the
+    density query `update_grid` wants (relu(raw sigma), unit +z viewdirs for
+    backbones that require directions — sigma heads never read them)."""
+
+    def sigma_fn(pts):
+        dirs = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], pts.dtype), pts.shape
+        )
+        raw = apply_fn(params, pts[:, None, :], dirs)
+        return jax.nn.relu(raw[..., 0, 3])
+
+    return sigma_fn

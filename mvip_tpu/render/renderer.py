@@ -44,6 +44,10 @@ class RenderOptions:
     detach_weights: bool = False
     ndc: bool = False
     use_pallas: bool = True   # fused importance sampler on TPU (8x vs jnp)
+    # Optional occupancy-grid sample compaction (ops/occupancy.py):
+    # (rays_o, rays_d, z_vals [R, S]) -> [R, K<=S] — applied to each stage's
+    # depths right before the network query. None = reference semantics.
+    pruner: Optional[Callable] = None
 
 
 def _on_tpu() -> bool:
@@ -79,11 +83,14 @@ def render_rays(
         k_strat, n_rays, opts.n_samples, near, far,
         lindisp=opts.lindisp, perturb=opts.perturb, dtype=dtype,
     )
+    dists = None
+    if opts.pruner is not None:
+        z_vals, dists = opts.pruner(rays_o, rays_d, z_vals)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     raw = coarse_fn(pts, viewdirs)
     out = composite(
         raw, z_vals, rays_d, k_noise0, opts.raw_noise_std, opts.white_bkgd,
-        opts.detach_weights,
+        opts.detach_weights, dists=dists,
     )
 
     ret = {}
@@ -108,11 +115,14 @@ def render_rays(
             )
         z_samples = jax.lax.stop_gradient(z_samples)
         z_vals = merge_z_vals(z_vals, z_samples)
+        dists = None
+        if opts.pruner is not None:
+            z_vals, dists = opts.pruner(rays_o, rays_d, z_vals)
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
         raw = (fine_fn or coarse_fn)(pts, viewdirs)
         out = composite(
             raw, z_vals, rays_d, k_noise1, opts.raw_noise_std, opts.white_bkgd,
-            opts.detach_weights,
+            opts.detach_weights, dists=dists,
         )
         ret["z_std"] = jnp.std(z_samples, axis=-1)
 

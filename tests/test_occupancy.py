@@ -1,0 +1,148 @@
+"""Occupancy-grid sample pruning (ops/occupancy.py).
+
+Strategy mirrors the repo's oracle pattern: the pruned render must reproduce
+the unpruned render wherever the grid is conservative (the skipped samples
+carry zero density), and the estimator pieces (cell indexing, EMA refresh,
+static-shape compaction) get direct unit checks. TPU-first addition — no
+reference counterpart (`DS_NeRF/run.py:1703-1847` always evaluates all
+64+64 samples).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvip_tpu.ops.occupancy import (
+    OccupancyConfig,
+    dense_refresh,
+    init_grid,
+    make_pruner,
+    occ_lookup,
+    update_grid,
+)
+from mvip_tpu.render.renderer import RenderOptions, render_rays
+
+
+CFG = OccupancyConfig(res=32, bound=4.0, keep=0.5, thresh=0.01,
+                      n_probe=32**3, update_every=4, warmup=0)
+
+
+def _slab_sigma(pts):
+    """Analytic density: a dense slab 1.0 < z < 2.0, empty elsewhere."""
+    z = pts[..., 2]
+    return jnp.where((z > 1.0) & (z < 2.0), 25.0, 0.0)
+
+
+def _slab_model(pts, viewdirs):
+    sig = _slab_sigma(pts)
+    rgb = jnp.stack(
+        [jnp.full_like(sig, 2.0), jnp.full_like(sig, -2.0),
+         jnp.clip(pts[..., 2], -3.0, 3.0)], -1
+    )
+    return jnp.concatenate([rgb, sig[..., None]], -1)
+
+
+def _built_grid():
+    grid = init_grid(CFG)
+    return dense_refresh(grid, _slab_sigma, jax.random.PRNGKey(0), CFG,
+                         passes=12)
+
+
+def test_update_grid_marks_slab_and_decays_elsewhere():
+    grid = _built_grid()
+    g3 = np.asarray(grid).reshape(CFG.res, CFG.res, CFG.res)
+    # cell layer containing z in (1, 2): z01 = (z+4)/8 -> k in [20, 24)
+    assert g3[:, :, 21:23].min() > 1.0       # slab cells saw density 25
+    assert g3[:, :, :19].max() == 0.0        # empty space never marked
+    # decay-only pass drives the EMA down where nothing is probed
+    g2 = update_grid(grid, lambda p: jnp.zeros(p.shape[0]),
+                     jax.random.PRNGKey(1), CFG)
+    assert float(jnp.max(g2)) <= float(jnp.max(grid)) * CFG.decay + 1e-6
+
+
+def test_occ_lookup_matches_analytic_field():
+    grid = _built_grid()
+    pts = jnp.asarray([[0.0, 0.0, 1.5], [0.0, 0.0, 3.5], [2.0, -2.0, 1.4]])
+    occ = occ_lookup(grid, pts, CFG)
+    assert occ[0] > 1.0 and occ[2] > 1.0 and occ[1] < 0.01
+
+
+def test_pruner_static_shape_and_depth_order():
+    grid = _built_grid()
+    pruner = make_pruner(grid, CFG)
+    ro = jnp.zeros((16, 3)).at[:, 2].set(-4.0)
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (16, 3))
+    z = jnp.broadcast_to(jnp.linspace(0.1, 7.9, 64), (16, 64))
+    zp, dp = pruner(ro, rd, z)
+    assert zp.shape == (16, 32)                       # ceil(64 * 0.5), static
+    assert dp.shape == (16, 32)
+    assert bool(jnp.all(jnp.diff(zp, axis=-1) >= 0))  # depth-monotone
+    # every kept sample carries its ORIGINAL stratum width (uniform ladder
+    # except the 1e10 tail marker)
+    step = float(z[0, 1] - z[0, 0])
+    dpn = np.asarray(dp)
+    assert np.all((np.abs(dpn - step) < 1e-5) | (dpn == 1e10))
+    # every sample that lands inside the slab must survive compaction
+    keptz = np.asarray(ro[0, 2] + zp[0])
+    inz = np.asarray(ro[0, 2] + z[0])
+    want = inz[(inz > 1.0) & (inz < 2.0)]
+    assert np.all(np.isin(np.round(want, 5), np.round(keptz, 5)))
+
+
+def test_pruned_render_exact_on_conservative_grid():
+    """Single-stage render: compaction must reproduce the full render EXACTLY
+    (float tolerance) because discarded samples all have sigma == 0 and kept
+    samples keep their original stratum widths."""
+    grid = _built_grid()
+    ro = jnp.stack(
+        [jnp.linspace(-2.0, 2.0, 32), jnp.zeros(32), jnp.full((32,), -4.0)], -1
+    )
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (32, 3))
+    base = RenderOptions(n_samples=64, n_importance=0, perturb=0.0,
+                         use_pallas=False)
+    ref = render_rays(None, ro, rd, 0.1, 7.9, _slab_model, None, base)
+    out = render_rays(None, ro, rd, 0.1, 7.9, _slab_model, None,
+                      RenderOptions(n_samples=64, n_importance=0, perturb=0.0,
+                                    use_pallas=False,
+                                    pruner=make_pruner(grid, CFG)))
+    for k in ("rgb", "depth", "disp", "acc"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), atol=1e-5,
+            err_msg=f"map {k} diverged under conservative pruning",
+        )
+
+
+def test_pruned_hierarchical_render_close():
+    """Coarse+fine: pruning the coarse stage perturbs the importance-sampling
+    bin edges (zero-weight spans collapse), so the fine render is only
+    near-identical — but must stay close on a conservative grid."""
+    grid = _built_grid()
+    ro = jnp.stack(
+        [jnp.linspace(-2.0, 2.0, 32), jnp.zeros(32), jnp.full((32,), -4.0)], -1
+    )
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (32, 3))
+    base = RenderOptions(n_samples=48, n_importance=32, perturb=0.0,
+                         use_pallas=False)
+    ref = render_rays(None, ro, rd, 0.1, 7.9, _slab_model, _slab_model, base)
+    out = render_rays(None, ro, rd, 0.1, 7.9, _slab_model, _slab_model,
+                      RenderOptions(n_samples=48, n_importance=32, perturb=0.0,
+                                    use_pallas=False,
+                                    pruner=make_pruner(grid, CFG)))
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]), np.asarray(ref["depth"]), atol=5e-2
+    )
+
+
+def test_pruner_keep_one_is_identity():
+    grid = _built_grid()
+    pruner = make_pruner(grid, OccupancyConfig(res=32, bound=4.0, keep=1.0))
+    z = jnp.broadcast_to(jnp.linspace(0.1, 7.9, 16), (4, 16))
+    ro = jnp.zeros((4, 3))
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4, 3))
+    zp, dp = pruner(ro, rd, z)
+    assert dp is None
+    np.testing.assert_array_equal(np.asarray(zp), np.asarray(z))
