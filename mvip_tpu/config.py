@@ -160,6 +160,17 @@ class Config:
                                              # whole dispatches; logs/artifacts are
                                              # labeled with the last completed step
     max_masked_pixels: int = 0               # 0 = auto (max over train views, padded)
+    # Occupancy-grid sample pruning (ops/occupancy.py) — opt-in instant-NGP
+    # style accelerator with NO reference counterpart: each render stage keeps
+    # occ_keep of its samples, chosen by an EMA density grid. Guidance-off
+    # XLA-step paths only (the fused-Pallas MLP step has S baked into its
+    # kernel shapes); warmup steps run unpruned while the grid fills.
+    occ_grid: bool = False
+    occ_res: int = 128                       # grid resolution per axis
+    occ_keep: float = 0.5                    # fraction of samples kept per stage
+    occ_thresh: float = 1e-2                 # density above which a cell is occupied
+    occ_update_every: int = 16               # refresh cadence (optimizer steps)
+    occ_warmup: int = 256                    # unpruned steps while the grid fills
     gui: bool = False                        # reference spawns tkinter unconditionally
     profile_dir: Optional[str] = None        # jax.profiler trace output
     log_every: int = 100

@@ -107,7 +107,7 @@ def make_pruner(grid: jnp.ndarray, cfg: OccupancyConfig) -> Callable:
 
     def pruner(rays_o, rays_d, z_vals):
         S = z_vals.shape[-1]
-        keep = max(8, min(S, -int(-S * cfg.keep)))
+        keep = max(4, min(S, -int(-S * cfg.keep)))
         if keep >= S:
             return z_vals, None
         return _prune(grid, rays_o, rays_d, z_vals, keep=keep, res=cfg.res,

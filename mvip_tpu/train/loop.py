@@ -500,7 +500,25 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     "running the SDS step at one step per dispatch"
                 )
             phase("guidance models resident (SDS on)")
-        else:
+        occ_cfg = None
+        occ_refresh = train_step_occ = occ_grid_arr = None
+        if not use_guidance:
+            if cfg.occ_grid:
+                bound = getattr(exp.model_cfg, "bound", None)
+                if bound is None:
+                    log_fn(
+                        "occ_grid: backbone has no AABB bound; pruning disabled"
+                    )
+                else:
+                    from mvip_tpu.ops.occupancy import OccupancyConfig
+
+                    occ_cfg = OccupancyConfig(
+                        res=cfg.occ_res, bound=float(bound), keep=cfg.occ_keep,
+                        thresh=cfg.occ_thresh,
+                        update_every=cfg.occ_update_every,
+                        warmup=cfg.occ_warmup,
+                    )
+        if not use_guidance:
             from mvip_tpu.train.fused_step import (
                 fused_step_supported,
                 make_fused_train_scan,
@@ -508,7 +526,35 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
             )
 
             n_inner = step_stride = max(int(cfg.megastep), 1)
-            if cfg.use_pallas and fused_step_supported(
+            if occ_cfg is not None:
+                # occupancy pruning runs on the XLA step (the fused-Pallas MLP
+                # kernels bake S into their shapes); build the unpruned warmup
+                # step plus the pruned one
+                from mvip_tpu.train.step import make_train_scan
+
+                if n_inner > 1:
+                    train_step = make_train_scan(
+                        exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply,
+                        optimizer, n_inner=n_inner,
+                    )
+                    train_step_occ = make_train_scan(
+                        exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply,
+                        optimizer, n_inner=n_inner, occ_cfg=occ_cfg,
+                    )
+                else:
+                    train_step = make_train_step(
+                        exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply,
+                        optimizer,
+                    )
+                    train_step_occ = make_train_step(
+                        exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply,
+                        optimizer, occ_cfg=occ_cfg,
+                    )
+                phase(
+                    f"occupancy-grid pruning on (res {occ_cfg.res}, keep "
+                    f"{occ_cfg.keep}, warmup {occ_cfg.warmup})"
+                )
+            elif cfg.use_pallas and fused_step_supported(
                 exp.scfg, exp.ropts, exp.backbone, exp.model_cfg,
                 n_devices=mesh.size,
             ):
@@ -543,6 +589,33 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         if use_guidance:
             step_stride = 1
 
+        if occ_cfg is not None:
+            from mvip_tpu.ops.occupancy import (
+                init_grid,
+                sigma_fn_from_apply,
+                update_grid,
+            )
+
+            has_fine = exp.init_params.get("fine") is not None
+
+            def _occ_refresh(grid, params, key):
+                leaf = params["fine"] if has_fine else params["coarse"]
+                app = exp.fine_apply if has_fine else exp.coarse_apply
+                return update_grid(
+                    grid, sigma_fn_from_apply(app, leaf), key, occ_cfg
+                )
+
+            occ_refresh = jax.jit(_occ_refresh)
+            occ_grid_arr = init_grid(occ_cfg)
+            if int(state.step) >= occ_cfg.warmup:
+                # resume past warmup: rebuild grid coverage before pruning
+                for p in range(8):
+                    occ_grid_arr = occ_refresh(
+                        occ_grid_arr, state.params,
+                        jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7), p),
+                    )
+                phase("occupancy grid rebuilt from checkpoint")
+
         n_iters = (max_steps or cfg.N_iters) + 1
         if step_stride > 1:
             # a scan dispatch always runs step_stride steps; round the budget
@@ -571,9 +644,20 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     # dispatch (== i at stride 1; scan metrics are m[-1])
                     lab = i + step_stride - 1
                     key = jax.random.fold_in(base_key, i)
+                    if occ_cfg is not None and (
+                        i == start or i % occ_cfg.update_every < step_stride
+                    ):
+                        occ_grid_arr = occ_refresh(
+                            occ_grid_arr, state.params,
+                            jax.random.fold_in(base_key, (1 << 30) + i),
+                        )
                     if use_guidance:
                         state, metrics = train_step(
                             state, streams_dev, key, jnp.asarray(i, jnp.int32)
+                        )
+                    elif occ_cfg is not None and i >= occ_cfg.warmup:
+                        state, metrics = train_step_occ(
+                            state, streams_dev, key, occ_grid_arr
                         )
                     else:
                         state, metrics = train_step(state, streams_dev, key)

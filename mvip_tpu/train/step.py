@@ -213,6 +213,16 @@ def base_losses(params, streams: DeviceStreams, key, scfg: StepConfig,
     return loss, metrics
 
 
+def _ropts_with_pruner(ropts: RenderOptions, occ_cfg, occ_grid):
+    """Occupancy-on variant of the render options: close the sample pruner
+    over the (traced) grid argument so refreshed grids never retrace."""
+    import dataclasses
+
+    from mvip_tpu.ops.occupancy import make_pruner
+
+    return dataclasses.replace(ropts, pruner=make_pruner(occ_grid, occ_cfg))
+
+
 def make_train_step(
     scfg: StepConfig,
     ropts: RenderOptions,
@@ -220,20 +230,32 @@ def make_train_step(
     fine_apply: Optional[Callable],
     optimizer,
     guidance_grad_fn: Optional[Callable] = None,
+    occ_cfg=None,
 ):
-    """Build the jitted step: (state, streams, key) -> (state, metrics)."""
+    """Build the jitted step: (state, streams, key) -> (state, metrics).
 
-    def loss_fn(params, streams: DeviceStreams, key):
-        return base_losses(params, streams, key, scfg, ropts, coarse_apply, fine_apply)
+    With `occ_cfg` (ops/occupancy.OccupancyConfig) the signature gains a
+    trailing `occ_grid` array and every render prunes its samples against it.
+    """
 
+    def loss_fn(params, streams: DeviceStreams, key, occ_grid=None):
+        r = ropts if occ_grid is None else _ropts_with_pruner(ropts, occ_cfg, occ_grid)
+        return base_losses(params, streams, key, scfg, r, coarse_apply, fine_apply)
 
-    def train_step(state: TrainState, streams: DeviceStreams, key):
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, streams, key)
+    def train_step(state: TrainState, streams: DeviceStreams, key, occ_grid=None):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, streams, key, occ_grid
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if occ_cfg is not None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(
+        lambda state, streams, key: train_step(state, streams, key),
+        donate_argnums=(0,),
+    )
 
 
 def make_train_scan(
@@ -243,27 +265,40 @@ def make_train_scan(
     fine_apply: Optional[Callable],
     optimizer,
     n_inner: int = 10,
+    occ_cfg=None,
 ):
     """Megastep: `lax.scan` n_inner optimization steps inside ONE jitted call.
 
     TPU-native throughput trick with no reference analogue: the per-step host
     dispatch (and, on tunneled backends, its round-trip latency) amortizes over
     n_inner device-side steps. Returns (state, stacked_metrics_of_last_step).
+    With `occ_cfg`, the occupancy grid rides the scan carry read-only (the
+    refresh cadence lives at dispatch granularity in the loop).
     """
 
-    def loss_fn(params, streams: DeviceStreams, key):
-        return base_losses(params, streams, key, scfg, ropts, coarse_apply, fine_apply)
+    def loss_fn(params, streams: DeviceStreams, key, occ_grid=None):
+        r = ropts if occ_grid is None else _ropts_with_pruner(ropts, occ_cfg, occ_grid)
+        return base_losses(params, streams, key, scfg, r, coarse_apply, fine_apply)
 
     def one_step(carry, key):
-        state, streams = carry
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, streams, key)
+        state, streams, occ_grid = carry
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, streams, key, occ_grid
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return (TrainState(state.step + 1, params, opt_state), streams), metrics
+        return (TrainState(state.step + 1, params, opt_state), streams, occ_grid), metrics
 
-    def train_scan(state: TrainState, streams: DeviceStreams, key):
+    def train_scan(state: TrainState, streams: DeviceStreams, key, occ_grid=None):
         keys = jax.random.split(key, n_inner)
-        (state, _), metrics = jax.lax.scan(one_step, (state, streams), keys)
+        (state, _, _), metrics = jax.lax.scan(
+            one_step, (state, streams, occ_grid), keys
+        )
         return state, jax.tree.map(lambda m: m[-1], metrics)
 
-    return jax.jit(train_scan, donate_argnums=(0,))
+    if occ_cfg is not None:
+        return jax.jit(train_scan, donate_argnums=(0,))
+    return jax.jit(
+        lambda state, streams, key: train_scan(state, streams, key),
+        donate_argnums=(0,),
+    )

@@ -137,6 +137,63 @@ def test_pruned_hierarchical_render_close():
     )
 
 
+def test_train_step_with_occupancy_pruning():
+    """Full jitted train step with the pruned renderer (make_train_step's
+    occ_cfg path): trains, loss finite and decreasing, grid refresh composes.
+    The megastep scan variant compiles and steps too."""
+    from tests.test_train import _APPLY, _MCFG, _OPT, make_synthetic_scene
+
+    from mvip_tpu.data.rays import build_ray_streams
+    from mvip_tpu.models.nerf_mlp import init_nerf_mlp
+    from mvip_tpu.ops.occupancy import sigma_fn_from_apply
+    from mvip_tpu.train.state import create_train_state
+    from mvip_tpu.train.step import (
+        DeviceStreams,
+        StepConfig,
+        make_train_scan,
+        make_train_step,
+    )
+
+    images, masks, depths, poses, focal = make_synthetic_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
+                          use_pallas=False)
+    scfg = StepConfig(n_rand=64, depth_loss=True, near=2.0, far=6.0, H=H, W=W,
+                      focal=focal)
+    occ = OccupancyConfig(res=16, bound=6.0, keep=0.5, thresh=1e-3,
+                          update_every=4, n_probe=4096, warmup=0)
+    step = make_train_step(scfg, ropts, _APPLY, _APPLY, _OPT, occ_cfg=occ)
+
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), _MCFG),
+        "fine": init_nerf_mlp(jax.random.PRNGKey(2), _MCFG),
+    }
+    state = create_train_state(params, _OPT)
+    grid = init_grid(occ)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        if i % occ.update_every == 0:
+            grid = update_grid(
+                grid, sigma_fn_from_apply(_APPLY, state.params["fine"]),
+                jax.random.fold_in(key, 1000 + i), occ,
+            )
+        state, metrics = step(state, streams, jax.random.fold_in(key, i), grid)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert int(state.step) == 30
+
+    scan = make_train_scan(scfg, ropts, _APPLY, _APPLY, _OPT, n_inner=3,
+                           occ_cfg=occ)
+    state, metrics = scan(state, streams, jax.random.fold_in(key, 99), grid)
+    assert int(state.step) == 33
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_pruner_keep_one_is_identity():
     grid = _built_grid()
     pruner = make_pruner(grid, OccupancyConfig(res=32, bound=4.0, keep=1.0))
