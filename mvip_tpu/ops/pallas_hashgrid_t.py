@@ -81,10 +81,15 @@ def _level_groups(res_static, T: int, RE: int):
     list) and each group becomes one pallas_call.
 
     Returns a list of (start, stop, BT_group) or None when trimming cannot
-    help (no static resolutions, tiny table, or every level already full).
+    help (no static resolutions, small table, or every level already full).
+    Measured on one v5e (tools/bench_encode.py, 131k pts): at 2^19 trimming
+    is 1.25x on BOTH kernels (fwd 184.9 -> 148.5 ms, bwd-dominated grad
+    197 -> 158.9 ms); at 2^15 the fwd gain is noise-level but the grouped
+    BACKWARD regresses 3x (45 ms vs 15) — so trimming only engages for
+    tcnn-capacity tables (BT_full >= 2048, i.e. T >= 2^17 at F=2).
     """
     BT_full = T // RE
-    if res_static is None or BT_full < 256:
+    if res_static is None or BT_full < 2048:
         return None
     bts = []
     for r in res_static:

@@ -84,7 +84,9 @@ def test_trimmed_dense_levels_match_xla():
     the ADVICE.md corner-coord clamp case)."""
     from mvip_tpu.ops.pallas_hashgrid_t import _level_groups
 
-    table, x, res_arr, dense, T = _setup(L=4, log2T=14, N=500, finest=64.0)
+    # trimming only engages for tcnn-capacity tables (BT_full >= 2048 — see
+    # _level_groups' measured gate), so test at 2^17
+    table, x, res_arr, dense, T = _setup(L=4, log2T=17, N=500, finest=256.0)
     x = x.at[:3].set(jnp.asarray([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0],
                                   [1.0, 0.5, 0.0]]))
     res_static = tuple(int(r) for r in res_arr)

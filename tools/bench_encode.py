@@ -63,6 +63,20 @@ def main():
         return jnp.sum(hashgrid_encode_fused_t(table, x, res_arr, dense_i, T, compute_dtype=cdt))
 
     @jax.jit
+    def g2t_fwd(x):
+        return jnp.sum(hashgrid_encode_fused_t(
+            table, x, res_arr, dense_i, T, compute_dtype=cdt,
+            res_static=cfg.resolutions))
+
+    @jax.jit
+    def g2t_fb(x):
+        def loss(t):
+            return jnp.sum(hashgrid_encode_fused_t(
+                t, x, res_arr, dense_i, T, compute_dtype=cdt,
+                res_static=cfg.resolutions) * g)
+        return jnp.sum(jnp.abs(jax.grad(loss)(table)))
+
+    @jax.jit
     def g1_fb(x):
         def loss(t):
             return jnp.sum(hashgrid_encode_fused(t, x, res_arr, dense_i, T, compute_dtype=cdt) * g)
@@ -87,9 +101,17 @@ def main():
         np.testing.assert_allclose(np.asarray(o1), np.asarray(ref), atol=atol)
         print("compiled gen1 fwd parity vs XLA: OK")
 
+    o2t = hashgrid_encode_fused_t(table, x[:4096], res_arr, dense_i, T,
+                                  compute_dtype=cdt,
+                                  res_static=cfg.resolutions)
+    np.testing.assert_allclose(np.asarray(o2t), np.asarray(ref), atol=atol)
+    print("compiled gen2-trimmed fwd parity vs XLA: OK")
+
     results = {}
     results["gen2_fwd_ms"] = _time(g2_fwd, x) * 1e3
     results["gen2_fwd_bwd_ms"] = _time(g2_fb, x) * 1e3
+    results["gen2_trim_fwd_ms"] = _time(g2t_fwd, x) * 1e3
+    results["gen2_trim_fwd_bwd_ms"] = _time(g2t_fb, x) * 1e3
     if log2T <= MAX_FUSED_LOG2:
         results["gen1_fwd_ms"] = _time(g1_fwd, x) * 1e3
         results["gen1_fwd_bwd_ms"] = _time(g1_fb, x) * 1e3
