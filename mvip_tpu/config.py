@@ -167,6 +167,12 @@ class Config:
     # kernel shapes); warmup steps run unpruned while the grid fills.
     occ_grid: bool = False
     occ_res: int = 128                       # grid resolution per axis
+    occ_bound: float = 0.0                   # grid AABB half-extent; 0 = auto
+                                             # (fit the ray span: |pose|+far,
+                                             # capped by the model bound) —
+                                             # the encode bound (e.g. 100) is
+                                             # far too coarse for LLFF scenes
+                                             # whose rays span a few units
     occ_keep: float = 0.5                    # fraction of samples kept per stage
     occ_thresh: float = 1e-2                 # density above which a cell is occupied
     occ_update_every: int = 16               # refresh cadence (optimizer steps)

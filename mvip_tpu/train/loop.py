@@ -512,8 +512,20 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 else:
                     from mvip_tpu.ops.occupancy import OccupancyConfig
 
+                    if cfg.occ_bound > 0:
+                        occ_bound = float(cfg.occ_bound)
+                    else:
+                        # auto-fit the grid AABB to the ray span: every sample
+                        # lies within |camera| + far of the origin, usually a
+                        # few units on LLFF scenes vs the encode's bound=100
+                        cam = float(
+                            np.abs(np.asarray(exp.streams.poses)[:, :3, 3]).max()
+                        )
+                        occ_bound = min(
+                            float(bound), 1.05 * (cam + float(exp.scfg.far))
+                        )
                     occ_cfg = OccupancyConfig(
-                        res=cfg.occ_res, bound=float(bound), keep=cfg.occ_keep,
+                        res=cfg.occ_res, bound=occ_bound, keep=cfg.occ_keep,
                         thresh=cfg.occ_thresh,
                         update_every=cfg.occ_update_every,
                         warmup=cfg.occ_warmup,
@@ -551,8 +563,9 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         optimizer, occ_cfg=occ_cfg,
                     )
                 phase(
-                    f"occupancy-grid pruning on (res {occ_cfg.res}, keep "
-                    f"{occ_cfg.keep}, warmup {occ_cfg.warmup})"
+                    f"occupancy-grid pruning on (res {occ_cfg.res}, bound "
+                    f"{occ_cfg.bound:.2f}, keep {occ_cfg.keep}, warmup "
+                    f"{occ_cfg.warmup})"
                 )
             elif cfg.use_pallas and fused_step_supported(
                 exp.scfg, exp.ropts, exp.backbone, exp.model_cfg,
