@@ -216,6 +216,65 @@ def bench_hash_fused_step() -> float:
     return ITERS * N_RAND / dt
 
 
+def bench_hash_occ() -> float:
+    """Occupancy-pruned hash-grid step (--occ_grid, ops/occupancy.py): same
+    workload, each stage compacted to keep=0.5 of its samples; the timed loop
+    includes the EMA grid refresh at its production cadence (every 16 steps).
+    Pruning selectivity doesn't change the compute shape, so the rate is
+    honest regardless of the synthetic scene's density content."""
+    import jax
+
+    from mvip_tpu.data.rays import build_ray_streams
+    from mvip_tpu.models.nerf_hashgrid import (
+        HashGridConfig, apply_hashgrid_nerf, init_hashgrid_nerf,
+    )
+    from mvip_tpu.ops.occupancy import (
+        OccupancyConfig, init_grid, sigma_fn_from_apply, update_grid,
+    )
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import DeviceStreams, StepConfig, make_train_step
+
+    images, masks, depths, poses, focal = _scene()
+    streams = build_ray_streams(images, masks, depths, poses, focal)
+    H, W = images.shape[1:3]
+    hcfg = HashGridConfig(log2_table_size=15, fused=True)
+    params = {
+        "coarse": init_hashgrid_nerf(jax.random.PRNGKey(1), hcfg),
+        "fine": init_hashgrid_nerf(jax.random.PRNGKey(2), hcfg),
+    }
+    apply_fn = lambda p, pts, vd: apply_hashgrid_nerf(p, hcfg, pts, vd)
+    ropts = RenderOptions(n_samples=N_SAMPLES, n_importance=N_IMPORTANCE,
+                          perturb=1.0, lindisp=True, raw_noise_std=1.0,
+                          white_bkgd=True)
+    scfg = StepConfig(n_rand=N_RAND, depth_loss=True, depth_lambda=0.1,
+                      near=1.2, far=7.7, H=H, W=W, focal=focal)
+    occ = OccupancyConfig(res=128, bound=8.3, keep=0.5, thresh=1e-2)
+    optimizer = make_optimizer(3e-3, 10)
+    state = create_train_state(params, optimizer)
+    step = make_train_step(scfg, ropts, apply_fn, apply_fn, optimizer,
+                           occ_cfg=occ)
+    refresh = jax.jit(
+        lambda g, p, k: update_grid(g, sigma_fn_from_apply(apply_fn, p["fine"]),
+                                    k, occ)
+    )
+    ds = DeviceStreams.from_host(streams)
+
+    key = jax.random.PRNGKey(0)
+    grid = refresh(init_grid(occ), state.params, jax.random.fold_in(key, 999))
+    for i in range(WARMUP):
+        state, metrics = step(state, ds, jax.random.fold_in(key, i), grid)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        if i % occ.update_every == 0:
+            grid = refresh(grid, state.params, jax.random.fold_in(key, 500 + i))
+        state, metrics = step(state, ds, jax.random.fold_in(key, WARMUP + i), grid)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return ITERS * N_RAND / dt
+
+
 def bench_mlp_scan(n_inner: int = 10) -> float:
     """Megastep variant: n_inner steps per dispatch via lax.scan — measures the
     device-side step rate with host dispatch amortized (same per-step math)."""
@@ -272,6 +331,7 @@ def main():
     # silently measure the XLA fallback under the "fused" label
     hash_fused_rate = bench_backbone("hashgrid_fused") if on_tpu else 0.0
     hash_fused_step_rate = bench_hash_fused_step() if on_tpu else 0.0
+    hash_occ_rate = bench_hash_occ() if on_tpu else 0.0
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -296,6 +356,7 @@ def main():
         "hashgrid_rays_per_sec": round(hash_rate, 1),
         "hashgrid_fused_rays_per_sec": round(hash_fused_rate, 1),
         "hashgrid_fused_step_rays_per_sec": round(hash_fused_step_rate, 1),
+        "hashgrid_occ_rays_per_sec": round(hash_occ_rate, 1),
         "baseline_torch_cpu_rays_per_sec": baseline,
     }
     print(json.dumps(result))
