@@ -177,6 +177,12 @@ class Config:
     occ_thresh: float = 1e-2                 # density above which a cell is occupied
     occ_update_every: int = 16               # refresh cadence (optimizer steps)
     occ_warmup: int = 256                    # unpruned steps while the grid fills
+    occ_mode: str = "interval"               # interval = redistribute samples
+                                             # into the occupied span (NGP-style
+                                             # march-in-occupied-space);
+                                             # topk = keep a subset of original
+                                             # strata (exact quadrature, lower
+                                             # in-content resolution)
     gui: bool = False                        # reference spawns tkinter unconditionally
     profile_dir: Optional[str] = None        # jax.profiler trace output
     log_every: int = 100

@@ -52,6 +52,13 @@ class OccupancyConfig:
     update_every: int = 16
     n_probe: int = 1 << 18
     warmup: int = 256
+    # "interval": restrict each ray's ladder to its occupied span and
+    # redistribute K samples there (finer-than-baseline sampling inside
+    # content — instant-ngp's march-in-occupied-space, made static-shape).
+    # "topk": keep K of the original samples, occupied first (exact stratum
+    # quadrature, but caps per-ray resolution in content — measured 3 dB
+    # held-out cost on content-dense scenes, BASELINE.md).
+    mode: str = "interval"
 
 
 def init_grid(cfg: OccupancyConfig) -> jnp.ndarray:
@@ -100,18 +107,51 @@ def _prune(grid, rays_o, rays_d, z_vals, *, keep: int, res: int,
             jnp.take_along_axis(kept_d, order, axis=-1))
 
 
+@partial(jax.jit, static_argnames=("keep", "res"), donate_argnums=())
+def _prune_interval(grid, rays_o, rays_d, z_vals, *, keep: int, res: int,
+                    bound: float, thresh: float):
+    """Narrow each ray's ladder to its occupied span [first, last] occupied
+    sample (one-stratum margin) and place `keep` samples there by fractional
+    interpolation of the ORIGINAL ladder — so lindisp/perturbed spacings are
+    respected and a fully-occupied ray degrades to plain K-subsampling.
+    Rays with no occupied samples keep the full span (conservative)."""
+    S = z_vals.shape[-1]
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    occ = jnp.take(grid, _cell_of(pts, res, bound), axis=0) >= thresh  # [R, S]
+    any_occ = jnp.any(occ, -1)
+    sidx = jnp.arange(S)
+    ilo = jnp.min(jnp.where(occ, sidx, S - 1), -1)
+    ihi = jnp.max(jnp.where(occ, sidx, 0), -1)
+    ilo = jnp.where(any_occ, jnp.maximum(ilo - 1, 0), 0)
+    ihi = jnp.where(any_occ, jnp.minimum(ihi + 1, S - 1), S - 1)
+    frac = jnp.linspace(0.0, 1.0, keep)[None, :]                      # [1, K]
+    pos = ilo[:, None] + (ihi - ilo)[:, None].astype(z_vals.dtype) * frac
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, S - 2)
+    t = pos - i0
+    z0 = jnp.take_along_axis(z_vals, i0, axis=-1)
+    z1 = jnp.take_along_axis(z_vals, i0 + 1, axis=-1)
+    zk = z0 + (z1 - z0) * t
+    d = zk[..., 1:] - zk[..., :-1]
+    # the reference ladder gives its LAST sample a 1e10 pseudo-width (absorbs
+    # remaining transmittance); keep that only when the narrowed interval
+    # still reaches the ladder end, else close with the local stratum width
+    last = jnp.where(ihi[:, None] >= S - 1, 1e10, d[..., -1:])
+    return zk, jnp.concatenate([d, last], -1)
+
+
 def make_pruner(grid: jnp.ndarray, cfg: OccupancyConfig) -> Callable:
     """Returns pruner(rays_o, rays_d, z_vals) -> (z [R, K], dists [R, K]) —
-    compacted z-samples plus their original stratum widths (K = ceil(S *
-    cfg.keep), static per input shape). Plugs into `RenderOptions.pruner`."""
+    compacted z-samples plus per-sample widths (K = ceil(S * cfg.keep),
+    static per input shape). Plugs into `RenderOptions.pruner`."""
 
     def pruner(rays_o, rays_d, z_vals):
         S = z_vals.shape[-1]
         keep = max(4, min(S, -int(-S * cfg.keep)))
         if keep >= S:
             return z_vals, None
-        return _prune(grid, rays_o, rays_d, z_vals, keep=keep, res=cfg.res,
-                      bound=cfg.bound, thresh=cfg.thresh)
+        fn = _prune_interval if cfg.mode == "interval" else _prune
+        return fn(grid, rays_o, rays_d, z_vals, keep=keep, res=cfg.res,
+                  bound=cfg.bound, thresh=cfg.thresh)
 
     return pruner
 

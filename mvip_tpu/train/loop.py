@@ -528,7 +528,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         res=cfg.occ_res, bound=occ_bound, keep=cfg.occ_keep,
                         thresh=cfg.occ_thresh,
                         update_every=cfg.occ_update_every,
-                        warmup=cfg.occ_warmup,
+                        warmup=cfg.occ_warmup, mode=cfg.occ_mode,
                     )
         if not use_guidance:
             from mvip_tpu.train.fused_step import (

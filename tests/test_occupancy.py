@@ -25,7 +25,10 @@ from mvip_tpu.render.renderer import RenderOptions, render_rays
 
 
 CFG = OccupancyConfig(res=32, bound=4.0, keep=0.5, thresh=0.01,
-                      n_probe=32**3, update_every=4, warmup=0)
+                      n_probe=32**3, update_every=4, warmup=0, mode="topk")
+CFG_INT = OccupancyConfig(res=32, bound=4.0, keep=0.5, thresh=0.01,
+                          n_probe=32**3, update_every=4, warmup=0,
+                          mode="interval")
 
 
 def _slab_sigma(pts):
@@ -135,6 +138,49 @@ def test_pruned_hierarchical_render_close():
     np.testing.assert_allclose(
         np.asarray(out["depth"]), np.asarray(ref["depth"]), atol=5e-2
     )
+
+
+def test_interval_mode_narrows_to_occupied_span():
+    """Interval mode: kept samples concentrate in the slab's z-span (plus one
+    stratum margin); empty rays keep the full span."""
+    grid = _built_grid()
+    pruner = make_pruner(grid, CFG_INT)
+    ro = jnp.zeros((2, 3)).at[:, 2].set(-4.0)
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3))
+    z = jnp.broadcast_to(jnp.linspace(0.1, 7.9, 64), (2, 64))
+    zp, dp = pruner(ro, rd, z)
+    assert zp.shape == (2, 32) and dp.shape == (2, 32)
+    assert bool(jnp.all(jnp.diff(zp, axis=-1) >= 0))
+    # ray 0 crosses the slab (world z in (1,2) -> ray z in (5,6)); the
+    # narrowed ladder must sit inside that span plus a one-stratum margin
+    step = float(z[0, 1] - z[0, 0])
+    assert float(zp[0, 0]) >= 5.0 - 2 * step
+    assert float(zp[0, -1]) <= 6.0 + 2 * step
+    # narrowed sampling is FINER than the original ladder inside content
+    assert float(jnp.max(jnp.diff(zp[0]))) < step
+
+
+def test_interval_mode_beats_plain_ladder_accuracy():
+    """The point of interval mode: K=24 samples concentrated in the occupied
+    span reproduce a 512-sample dense reference BETTER than the full 48-sample
+    uniform ladder does — quality above baseline at half the query cost."""
+    grid = _built_grid()
+    ro = jnp.stack(
+        [jnp.linspace(-2.0, 2.0, 64), jnp.zeros(64), jnp.full((64,), -4.0)], -1
+    )
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (64, 3))
+
+    def render(n_samples, pruner=None):
+        opts = RenderOptions(n_samples=n_samples, n_importance=0, perturb=0.0,
+                             use_pallas=False, pruner=pruner)
+        return render_rays(None, ro, rd, 0.1, 7.9, _slab_model, None, opts)
+
+    dense = render(512)["rgb"]
+    full = render(48)["rgb"]
+    pruned = render(48, make_pruner(grid, CFG_INT))["rgb"]
+    err_full = float(jnp.mean((full - dense) ** 2))
+    err_pruned = float(jnp.mean((pruned - dense) ** 2))
+    assert err_pruned < err_full, (err_pruned, err_full)
 
 
 def test_train_step_with_occupancy_pruning():
