@@ -86,6 +86,11 @@ def _prune(grid, rays_o, rays_d, z_vals, *, keep: int, res: int,
            bound: float, thresh: float):
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     occ = jnp.take(grid, _cell_of(pts, res, bound), axis=0) >= thresh  # [R, S]
+    # the final sample carries the ladder's 1e10 pseudo-width (it absorbs all
+    # remaining transmittance for ANY positive sigma — discontinuous in
+    # sigma), so always keep it: dropping it would shift acc/background for
+    # rays whose tail cell is sub-threshold but not exactly empty
+    occ = occ.at[..., -1].set(True)
     # Occupied samples first (depth order), then unoccupied (depth order):
     # span = far - near bounds every z, so adding it only to empty samples
     # ranks all occupied ones ahead without disturbing intra-group order.
@@ -144,9 +149,15 @@ def make_pruner(grid: jnp.ndarray, cfg: OccupancyConfig) -> Callable:
     compacted z-samples plus per-sample widths (K = ceil(S * cfg.keep),
     static per input shape). Plugs into `RenderOptions.pruner`."""
 
+    if cfg.mode not in ("interval", "topk"):
+        raise ValueError(f"unknown occupancy mode {cfg.mode!r} "
+                         "(expected 'interval' or 'topk')")
+
     def pruner(rays_o, rays_d, z_vals):
+        import math
+
         S = z_vals.shape[-1]
-        keep = max(4, min(S, -int(-S * cfg.keep)))
+        keep = max(4, min(S, math.ceil(S * cfg.keep)))
         if keep >= S:
             return z_vals, None
         fn = _prune_interval if cfg.mode == "interval" else _prune
@@ -181,11 +192,12 @@ def update_grid(grid: jnp.ndarray, sigma_fn: Callable, key: jax.Array,
 
 
 def dense_refresh(grid: jnp.ndarray, sigma_fn: Callable, key: jax.Array,
-                  cfg: OccupancyConfig, passes: int = 8) -> jnp.ndarray:
+                  cfg: OccupancyConfig, passes: int = 16) -> jnp.ndarray:
     """Cover the whole grid quickly (eval from a checkpoint, resume): `passes`
-    sequential probe rounds; with n_probe = res^3 / 4 and 8 passes, ~87% of
-    cells get at least one direct probe and the rest stay at their decayed
-    zero init (conservatively unoccupied only where nothing was seen)."""
+    sequential probe rounds. Coverage = 1 - (1 - n_probe/res^3)^passes: the
+    defaults (n_probe=2^18, res=128, 16 passes) directly probe ~88% of cells;
+    the rest stay at their decayed zero init (conservatively unoccupied only
+    where nothing was seen)."""
     for p in range(passes):
         grid = update_grid(grid, sigma_fn, jax.random.fold_in(key, p), cfg)
     return grid

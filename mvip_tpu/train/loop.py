@@ -516,13 +516,22 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         occ_bound = float(cfg.occ_bound)
                     else:
                         # auto-fit the grid AABB to the ray span: every sample
-                        # lies within |camera| + far of the origin, usually a
-                        # few units on LLFF scenes vs the encode's bound=100
+                        # lies within |camera| + far * max|dir| of the origin
+                        # (ray dirs are NOT unit: corner pixels reach
+                        # sqrt((W/2f)^2 + (H/2f)^2 + 1) — without the factor,
+                        # corner samples at depth ~far fall outside the grid
+                        # and read boundary cells as unoccupied)
                         cam = float(
                             np.abs(np.asarray(exp.streams.poses)[:, :3, 3]).max()
                         )
+                        f = float(np.asarray(exp.scfg.focal).max())
+                        dmax = float(np.sqrt(
+                            (exp.scfg.W / (2 * f)) ** 2
+                            + (exp.scfg.H / (2 * f)) ** 2 + 1.0
+                        ))
                         occ_bound = min(
-                            float(bound), 1.05 * (cam + float(exp.scfg.far))
+                            float(bound),
+                            1.05 * (cam + float(exp.scfg.far) * dmax),
                         )
                     occ_cfg = OccupancyConfig(
                         res=cfg.occ_res, bound=occ_bound, keep=cfg.occ_keep,
@@ -604,6 +613,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
 
         if occ_cfg is not None:
             from mvip_tpu.ops.occupancy import (
+                dense_refresh,
                 init_grid,
                 sigma_fn_from_apply,
                 update_grid,
@@ -611,22 +621,25 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
 
             has_fine = exp.init_params.get("fine") is not None
 
-            def _occ_refresh(grid, params, key):
+            def _occ_sigma_fn(params):
                 leaf = params["fine"] if has_fine else params["coarse"]
                 app = exp.fine_apply if has_fine else exp.coarse_apply
-                return update_grid(
-                    grid, sigma_fn_from_apply(app, leaf), key, occ_cfg
-                )
+                return sigma_fn_from_apply(app, leaf)
+
+            def _occ_refresh(grid, params, key):
+                return update_grid(grid, _occ_sigma_fn(params), key, occ_cfg)
 
             occ_refresh = jax.jit(_occ_refresh)
             occ_grid_arr = init_grid(occ_cfg)
             if int(state.step) >= occ_cfg.warmup:
-                # resume past warmup: rebuild grid coverage before pruning
-                for p in range(8):
-                    occ_grid_arr = occ_refresh(
-                        occ_grid_arr, state.params,
-                        jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 7), p),
-                    )
+                # resume past warmup: pruning engages on the first resumed
+                # step, so rebuild dense coverage first (16 passes of
+                # n_probe=2^18 over 128^3 cells directly probe ~88% of them;
+                # the rest stay at their zero init until routine refreshes)
+                occ_grid_arr = dense_refresh(
+                    occ_grid_arr, _occ_sigma_fn(state.params),
+                    jax.random.PRNGKey(cfg.seed + 7), occ_cfg, passes=16,
+                )
                 phase("occupancy grid rebuilt from checkpoint")
 
         n_iters = (max_steps or cfg.N_iters) + 1
