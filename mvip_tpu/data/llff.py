@@ -220,6 +220,68 @@ class LLFFScene:
         return self.hwf[2]
 
 
+def _scene_cache_file(basedir: str, factor: int, prepare: bool,
+                      recenter: bool, bd_factor, spherify: bool,
+                      path_zflat: bool) -> Optional[str]:
+    """Cache key for a parsed scene: datadir identity + every loader knob +
+    the newest mtime under the image pyramid (stale on any re-export).
+
+    The reference memoizes the expensive half of ingestion the same way
+    (`DS_NeRF/load_llff.py:491-495` writes `colmap_depth.npy` into the scene
+    dir); our scene dirs can be mounted read-only, so the cache lives under
+    `~/.cache/mvip_scenes` instead. Disable with MVIP_SCENE_CACHE=0."""
+    if os.environ.get("MVIP_SCENE_CACHE", "1") == "0":
+        return None
+    import hashlib
+
+    try:
+        stamps = [os.path.getmtime(os.path.join(basedir, "poses_bounds.npy"))]
+        sfx = f"_{factor}" if factor and factor != 1 else ""
+        imgroot = os.path.join(basedir, "images" + sfx)
+        for root, _, files in os.walk(imgroot):
+            stamps.extend(
+                os.path.getmtime(os.path.join(root, f)) for f in files
+            )
+    except OSError:
+        return None
+    key = repr((os.path.abspath(basedir), factor, prepare, recenter,
+                bd_factor, spherify, path_zflat, len(stamps), max(stamps)))
+    h = hashlib.sha256(key.encode()).hexdigest()[:24]
+    d = os.path.join(os.path.expanduser("~"), ".cache", "mvip_scenes")
+    return os.path.join(d, f"llff_{h}.npz")
+
+
+def _scene_cache_load(path: Optional[str]) -> Optional[LLFFScene]:
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        return LLFFScene(
+            images=z["images"], poses=z["poses"], bds=z["bds"],
+            render_poses=z["render_poses"], i_test=int(z["i_test"]),
+            masks=z["masks"], inpainted_depths=z["inpainted_depths"],
+            hwf=(int(z["hwf"][0]), int(z["hwf"][1]), float(z["hwf"][2])),
+            near=float(z["near"]), far=float(z["far"]),
+        )
+    except Exception:
+        return None  # corrupt/partial cache: fall through to a fresh parse
+
+
+def _scene_cache_save(path: Optional[str], s: LLFFScene) -> None:
+    if not path:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}.npz"  # savez keeps names ending .npz
+        np.savez(tmp, images=s.images, poses=s.poses, bds=s.bds,
+                 render_poses=s.render_poses, i_test=s.i_test, masks=s.masks,
+                 inpainted_depths=s.inpainted_depths,
+                 hwf=np.asarray(s.hwf, np.float64), near=s.near, far=s.far)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is best-effort; never fail the load over it
+
+
 def load_llff_scene(
     basedir: str,
     factor: int = 4,
@@ -229,6 +291,11 @@ def load_llff_scene(
     prepare: bool = False,
     path_zflat: bool = False,
 ) -> LLFFScene:
+    cache = _scene_cache_file(basedir, factor, prepare, recenter, bd_factor,
+                              spherify, path_zflat)
+    cached = _scene_cache_load(cache)
+    if cached is not None:
+        return cached
     poses_arr = np.load(os.path.join(basedir, "poses_bounds.npy"))
     poses = poses_arr[:, :-2].reshape(-1, 3, 5)          # [N, 3, 5]
     bds = poses_arr[:, -2:]                              # [N, 2]
@@ -305,7 +372,7 @@ def load_llff_scene(
     i_test = int(np.argmin(np.sum((c2w[:3, 3] - poses[:, :3, 3]) ** 2, -1)))
 
     hwf = (H, W, float(poses[0, 2, 4]))
-    return LLFFScene(
+    scene = LLFFScene(
         images=imgs,
         poses=poses[:, :3, :4],
         bds=bds,
@@ -317,3 +384,5 @@ def load_llff_scene(
         near=float(bds.min() * 0.9),
         far=float(bds.max() * 1.0),
     )
+    _scene_cache_save(cache, scene)
+    return scene
