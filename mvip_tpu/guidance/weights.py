@@ -19,11 +19,13 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from mvip_tpu.guidance.clip import CLIPTextConfig
+from mvip_tpu.guidance.clip import CLIPTextConfig, CLIPVisionConfig
 from mvip_tpu.guidance.unet import UNetConfig
 from mvip_tpu.guidance.vae import VAEConfig
 
-# (hf_name_prefix, pytree_path, kind) ; kind in {conv, linear, norm, raw}
+# (hf_name_prefix, pytree_path, kind) ; kind in {conv, linear, norm, raw,
+# linear_w_t, conv_w_hwio} (the last two map bias-free torch weights onto
+# plain-array pytree leaves)
 MapEntry = Tuple[str, Tuple, str]
 
 
@@ -181,7 +183,37 @@ def clip_text_mapping(cfg: CLIPTextConfig) -> List[MapEntry]:
             (f"{lyr}.mlp.fc2", path + ("fc2",), "linear"),
         ]
     if cfg.projection_dim:
-        m.append(("text_projection", ("proj",), "raw"))
+        # nn.Linear(hidden, proj, bias=False): weight [proj, hidden] -> ours
+        # [hidden, proj] (`clip_utils.py:21-27` consumes the projected embeds)
+        m.append(("text_projection", ("proj",), "linear_w_t"))
+    return m
+
+
+def clip_vision_mapping(cfg: CLIPVisionConfig) -> List[MapEntry]:
+    """transformers `CLIPVisionModelWithProjection` names -> our vision pytree
+    (the reference's image tower: ViT-B/16, `DS_NeRF/guidance/clip_utils.py:14`).
+    Note HF's misspelled `pre_layrnorm` is the real checkpoint key."""
+    m: List[MapEntry] = [
+        ("vision_model.embeddings.class_embedding", ("cls",), "raw"),
+        ("vision_model.embeddings.patch_embedding", ("patch_emb",), "conv_w_hwio"),
+        ("vision_model.embeddings.position_embedding", ("pos_emb",), "raw"),
+        ("vision_model.pre_layrnorm", ("ln_pre",), "norm"),
+        ("vision_model.post_layernorm", ("ln_post",), "norm"),
+        ("visual_projection", ("proj",), "linear_w_t"),
+    ]
+    for i in range(cfg.layers):
+        lyr = f"vision_model.encoder.layers.{i}"
+        path = ("blocks", i)
+        m += [
+            (f"{lyr}.layer_norm1", path + ("ln1",), "norm"),
+            (f"{lyr}.self_attn.q_proj", path + ("attn", "q"), "linear"),
+            (f"{lyr}.self_attn.k_proj", path + ("attn", "k"), "linear"),
+            (f"{lyr}.self_attn.v_proj", path + ("attn", "v"), "linear"),
+            (f"{lyr}.self_attn.out_proj", path + ("attn", "o"), "linear"),
+            (f"{lyr}.layer_norm2", path + ("ln2",), "norm"),
+            (f"{lyr}.mlp.fc1", path + ("fc1",), "linear"),
+            (f"{lyr}.mlp.fc2", path + ("fc2",), "linear"),
+        ]
     return m
 
 
@@ -223,6 +255,19 @@ def _import_entry(params, sd: Dict[str, np.ndarray], hf: str, path: Tuple, kind:
         raise ValueError(kind)
 
 
+def _import_array_entry(params, sd, hf: str, path: Tuple, kind: str) -> bool:
+    """Kinds whose pytree leaf is a plain array (no {w,b} node): transposed
+    bias-free linear weights and HWIO conv weights. Returns False for kinds
+    `_import_entry` handles."""
+    if kind == "linear_w_t":       # nn.Linear(bias=False): [out,in] -> [in,out]
+        _set(params, path, np.transpose(np.asarray(sd[f"{hf}.weight"])))
+    elif kind == "conv_w_hwio":    # Conv2d(bias=False): OIHW -> HWIO
+        _set(params, path, np.transpose(np.asarray(sd[f"{hf}.weight"]), (2, 3, 1, 0)))
+    else:
+        return False
+    return True
+
+
 def _export_entry(params, out: Dict[str, np.ndarray], hf: str, path: Tuple, kind: str):
     node = _get(params, path)
     if kind == "raw":
@@ -236,12 +281,17 @@ def _export_entry(params, out: Dict[str, np.ndarray], hf: str, path: Tuple, kind
     elif kind == "norm":
         out[f"{hf}.weight"] = np.asarray(node["scale"])
         out[f"{hf}.bias"] = np.asarray(node["bias"])
+    elif kind == "linear_w_t":
+        out[f"{hf}.weight"] = np.transpose(np.asarray(node))
+    elif kind == "conv_w_hwio":
+        out[f"{hf}.weight"] = np.transpose(np.asarray(node), (3, 2, 0, 1))
 
 
 def import_state_dict(params, sd: Dict[str, np.ndarray], mapping: List[MapEntry]):
     """In-place: fill `params` (from the matching init_*) with HF tensors."""
     for hf, path, kind in mapping:
-        _import_entry(params, sd, hf, path, kind)
+        if not _import_array_entry(params, sd, hf, path, kind):
+            _import_entry(params, sd, hf, path, kind)
     return params
 
 
@@ -308,3 +358,26 @@ def load_sd_guidance(root: str, dtype=np.float32):
                       clip_text_mapping(text_cfg))
     cast = lambda t: jax.tree.map(lambda a: np.asarray(a, dtype), t)
     return cast(unet_p), cast(vae_p), cast(text_p), (unet_cfg, vae_cfg, text_cfg)
+
+
+def load_clip_guidance(root: str, dtype=np.float32):
+    """Port a local transformers CLIP checkpoint dir (ViT-B/16 dual tower,
+    the reference's `clip` guidance backend — `DS_NeRF/guidance/clip_utils.py:14`)
+    into a ready `CLIPGuidance`. `root` holds the full CLIPModel weights
+    (`text_model.*` + `vision_model.*` + both projections)."""
+    import jax
+
+    from mvip_tpu.guidance.clip import init_clip_text, init_clip_vision
+    from mvip_tpu.guidance.clip_guidance import CLIPGuidance
+
+    text_cfg = CLIPTextConfig(hidden=512, layers=12, heads=8, mlp=2048,
+                              projection_dim=512)
+    vision_cfg = CLIPVisionConfig()   # ViT-B/16 defaults
+    key = jax.random.PRNGKey(0)
+    text_p = jax.tree.map(np.asarray, init_clip_text(key, text_cfg))
+    vision_p = jax.tree.map(np.asarray, init_clip_vision(key, vision_cfg))
+    sd = _load_checkpoint_dir(root)
+    import_state_dict(text_p, sd, clip_text_mapping(text_cfg))
+    import_state_dict(vision_p, sd, clip_vision_mapping(vision_cfg))
+    cast = lambda t: jax.tree.map(lambda a: np.asarray(a, dtype), t)
+    return CLIPGuidance(cast(text_p), cast(vision_p), text_cfg, vision_cfg)

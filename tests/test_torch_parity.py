@@ -53,6 +53,81 @@ def test_clip_text_matches_transformers():
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
 
 
+def test_clip_text_projection_matches_transformers():
+    """`clip_text_features` (EOS pooling + projection + L2 norm) vs
+    transformers CLIPTextModelWithProjection — the reference's text embeds
+    for CLIP guidance (`clip_utils.py:21-27`). proj_dim != hidden so a
+    transposed-weight mistake fails on shape, not silently."""
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection
+
+    hf_cfg = HFConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, hidden_act="quick_gelu", projection_dim=12,
+        bos_token_id=1, eos_token_id=98,  # NOT 2: transformers keeps a legacy
+        # argmax-of-ids pooling branch specifically for eos_token_id == 2
+    
+    )
+    torch.manual_seed(1)
+    model = CLIPTextModelWithProjection(hf_cfg).eval()
+
+    cfg = CLIPTextConfig(vocab_size=99, hidden=32, layers=2, heads=4, mlp=64,
+                         max_len=16, eos_token_id=hf_cfg.eos_token_id,
+                         projection_dim=12)
+    params = jax.tree.map(np.asarray, init_clip_text(jax.random.PRNGKey(0), cfg))
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    W.import_state_dict(params, sd, W.clip_text_mapping(cfg))
+
+    eos = hf_cfg.eos_token_id
+    ids = np.array([[5, 17, 42, eos, 0, 0, 0, 0]], np.int32)
+    from mvip_tpu.guidance.clip import clip_text_features
+
+    ours = np.asarray(clip_text_features(params, cfg, jnp.asarray(ids)))
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(ids.astype(np.int64))).text_embeds.numpy()
+    theirs = theirs / np.linalg.norm(theirs, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_clip_vision_matches_transformers():
+    """Full vision tower (patch embed -> CLS pool -> projection -> L2 norm)
+    vs transformers CLIPVisionModelWithProjection — the reference's image
+    embeds (`clip_utils.py:29-34`)."""
+    from transformers import CLIPVisionConfig as HFVConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    hf_cfg = HFVConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=16, patch_size=8,
+        projection_dim=12, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(2)
+    model = CLIPVisionModelWithProjection(hf_cfg).eval()
+
+    from mvip_tpu.guidance.clip import (
+        CLIPVisionConfig,
+        clip_image_features,
+        init_clip_vision,
+    )
+
+    cfg = CLIPVisionConfig(image_size=16, patch=8, hidden=32, layers=2,
+                           heads=4, mlp=64, projection_dim=12)
+    params = jax.tree.map(np.asarray, init_clip_vision(jax.random.PRNGKey(0), cfg))
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    W.import_state_dict(params, sd, W.clip_vision_mapping(cfg))
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    ours = np.asarray(clip_image_features(params, cfg, jnp.asarray(img)))
+    with torch.no_grad():
+        theirs = model(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))
+        ).image_embeds.numpy()
+    theirs = theirs / np.linalg.norm(theirs, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
 def test_conv2d_matches_torch(rng):
     x = rng.normal(size=(2, 9, 11, 5)).astype(np.float32)
     p = conv_init(jax.random.PRNGKey(0), 3, 3, 5, 7)
