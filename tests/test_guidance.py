@@ -180,7 +180,11 @@ def test_sds_normal_step_runs(key):
 
 
 @pytest.mark.parametrize("apply_mode", ["all", "last"])
-@pytest.mark.parametrize("over_neighbors", [False, True])
+@pytest.mark.parametrize(
+    "over_neighbors",
+    [False,
+     pytest.param(True, marks=pytest.mark.slow)],  # reference-bug-parity flag
+)
 def test_sds_colla_modes(key, apply_mode, over_neighbors):
     gm, scfg, te = _tiny_guidance(key)
     imgs = jax.random.uniform(key, (3, 12, 12, 3))

@@ -77,6 +77,7 @@ def test_transposed_matches_first_gen():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow  # tcnn-capacity (2^17) interpret-mode run, ~30 s alone
 def test_trimmed_dense_levels_match_xla():
     """res_static enables dense-level slab trimming (`_level_groups`): dense
     levels gather against a lane-trimmed table slab. Forward + both grads must
