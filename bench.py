@@ -317,10 +317,42 @@ def bench_mlp_scan(n_inner: int = 10) -> float:
     return n_outer * n_inner * N_RAND / dt
 
 
-def main():
-    import jax
+def _fail_json(msg: str) -> str:
+    return json.dumps({
+        "metric": "train_rays_per_sec (1024 rays, 64+64 samples, coarse+fine, full step)",
+        "value": 0.0,
+        "unit": "rays/s",
+        "vs_baseline": None,
+        "error": msg,
+    })
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+
+def main():
+    # The tunneled TPU backend can be down for hours (init hangs with no
+    # exception — observed 2026-08-18). A hung bench leaves the driver's
+    # artifact empty; this watchdog keeps the one-JSON-line contract instead.
+    # 3300 s >> the ~25 min worst-case cold-compile bench, so it only fires
+    # when the backend is genuinely unreachable or a dispatch never returns.
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(3300):
+            print(_fail_json("bench did not complete within 3300s "
+                             "(TPU tunnel down or dispatch hung)"), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    try:
+        import jax
+
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception as e:  # backend registered but init failed (UNAVAILABLE)
+        done.set()
+        print(_fail_json(f"backend init failed: {e}"), flush=True)
+        return
     mlp_rate = bench_backbone("mlp")
     # the fused-Pallas step compiles TPU-only (no interpret fallback here)
     fused_rate = bench_mlp_fused() if on_tpu else 0.0
@@ -359,6 +391,7 @@ def main():
         "hashgrid_occ_rays_per_sec": round(hash_occ_rate, 1),
         "baseline_torch_cpu_rays_per_sec": baseline,
     }
+    done.set()
     print(json.dumps(result))
 
 
