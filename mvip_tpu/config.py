@@ -153,9 +153,10 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"           # bfloat16 for max MXU throughput
     use_pallas: bool = True                  # Pallas kernels on TPU hot paths
-    megastep: int = 1                        # guidance-off: lax.scan this many train
-                                             # steps per dispatch (amortizes tunnel/host
-                                             # dispatch latency). N_iters and the
+    megastep: int = 1                        # lax.scan this many train steps per
+                                             # dispatch (amortizes tunnel/host dispatch
+                                             # latency; works for guidance-off AND the
+                                             # full SDS step). N_iters and the
                                              # print/ckpt/render cadences round UP to
                                              # whole dispatches; logs/artifacts are
                                              # labeled with the last completed step

@@ -488,17 +488,16 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     + (f" (shard_map over {mesh.size} devices)"
                        if mesh.size > 1 else "")
                 )
+            guid_inner = max(int(cfg.megastep), 1)
             train_step = make_mvip_train_step(
                 exp.scfg, exp.ropts, exp.coarse_apply, exp.fine_apply, optimizer,
                 mcfg, gm, s_rgb, s_nrm, s_col, pair_rgb, pair_nrm,
                 fused_mlp_cfg=fused_mlp_cfg,
                 mesh=mesh if mesh.size > 1 else None,
+                n_inner=guid_inner,
             )
-            if int(cfg.megastep) > 1:
-                log_fn(
-                    "NOTE: --megastep applies to guidance-off training only; "
-                    "running the SDS step at one step per dispatch"
-                )
+            if guid_inner > 1:
+                phase(f"guidance megastep selected ({guid_inner}/dispatch)")
             phase("guidance models resident (SDS on)")
         occ_cfg = None
         occ_refresh = train_step_occ = occ_grid_arr = None
@@ -609,7 +608,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     optimizer,
                 )
         if use_guidance:
-            step_stride = 1
+            step_stride = guid_inner
 
         if occ_cfg is not None:
             from mvip_tpu.ops.occupancy import (

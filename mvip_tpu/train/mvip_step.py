@@ -162,8 +162,14 @@ def make_mvip_train_step(
                                      # guidance renders shard the ray axis
                                      # via shard_map (grads psum over ICI)
     interpret: bool = False,         # CPU interpret mode for the fused path
+    n_inner: int = 1,                # >1: lax.scan this many MVIP steps per
+                                     # dispatch (guidance megastep)
 ):
-    """Build the jitted MVIP step: (state, streams, key, i) -> (state, metrics)."""
+    """Build the jitted MVIP step: (state, streams, key, i) -> (state, metrics).
+
+    With n_inner > 1 the returned callable runs n_inner optimizer steps per
+    dispatch (i is the FIRST inner step's index) and reports the last inner
+    step's metrics, mirroring `step.make_train_scan`."""
     H, W, focal = scfg.H, scfg.W, scfg.focal
     n_imp = ropts.n_importance
 
@@ -347,7 +353,7 @@ def make_mvip_train_step(
         metrics["loss"] = loss
         return loss, metrics
 
-    def train_step(state: TrainState, streams: DeviceStreams, key, i):
+    def one_step(state: TrainState, streams: DeviceStreams, key, i):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, streams, key, i
         )
@@ -355,4 +361,20 @@ def make_mvip_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if n_inner <= 1:
+        return jax.jit(one_step, donate_argnums=(0,))
+
+    # Guidance megastep: `lax.scan` n_inner full MVIP steps per dispatch.
+    # Same TPU-native dispatch-amortization trick as `step.make_train_scan`,
+    # now covering the reference's ACTUAL hot loop (`run.py:919-1031` — the
+    # per-step masked-view render + SDS). The step index i0+j stays a traced
+    # scalar, so the in-step anneals/gates (`sd_utils.py:363`,
+    # `nerf/utils.py:298`) see every inner step exactly as at stride 1.
+    def train_scan(state: TrainState, streams: DeviceStreams, key, i0):
+        def body(st, j):
+            return one_step(st, streams, jax.random.fold_in(key, j), i0 + j)
+
+        state, metrics = jax.lax.scan(body, state, jnp.arange(n_inner))
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return jax.jit(train_scan, donate_argnums=(0,))

@@ -89,6 +89,60 @@ def test_mvip_step_all_guidance(key):
     assert any(moved)
 
 
+def test_mvip_megastep_matches_stride1(key):
+    """The guidance megastep (n_inner > 1) must produce the SAME params as
+    n_inner sequential stride-1 dispatches when fed the matching keys/indices
+    (scan body folds key by inner index; loop folds base key by dispatch i)."""
+    images, masks, depths, poses, focal = _tiny_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+    mcfg_model = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg_model),
+        "fine": None,
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg_model, pts, vd)
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+    ropts = RenderOptions(n_samples=6, n_importance=0, perturb=0.0,
+                          raw_noise_std=0.0)
+    scfg = StepConfig(n_rand=16, depth_loss=False, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(sds_loss_weight=1e-4, is_rgb_guidance=True,
+                      render_chunk=64)
+    optimizer = make_optimizer(5e-3, 250)
+    args = (scfg, ropts, apply_fn, None, optimizer, mcfg, gm,
+            scfg_sds, scfg_sds, scfg_sds, te, te)
+
+    step1 = make_mvip_train_step(*args)
+    scan2 = make_mvip_train_step(*args, n_inner=2)
+
+    # the step donates its input state; give each run its own fresh buffers
+    p_host = jax.tree.map(lambda a: np.asarray(a).copy(), params)
+    fresh = lambda: jax.tree.map(jnp.asarray, p_host)
+
+    s_a = create_train_state(fresh(), optimizer)
+    base = jax.random.fold_in(key, 9)
+    for j in range(2):
+        s_a, m_a = step1(s_a, streams, jax.random.fold_in(base, j),
+                         jnp.asarray(4 + j, jnp.int32))
+
+    s_b = create_train_state(fresh(), optimizer)
+    s_b, m_b = scan2(s_b, streams, base, jnp.asarray(4, jnp.int32))
+
+    assert int(s_b.step) == int(s_a.step) == 2
+    for la, lb in zip(jax.tree_util.tree_leaves(s_a.params),
+                      jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_composite_skips_padded_coords(key):
     """Padded coord slots (>= masked_counts) must not scatter. Regression: a
     view with ZERO masked pixels kept the all-zeros pad, which scattered a
