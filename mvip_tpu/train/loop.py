@@ -12,6 +12,7 @@ HBM once; a `Mesh('data')` shards the batch across chips.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Optional
@@ -662,6 +663,22 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         # failure containment (the reference has none — SURVEY §5): persist an
         # emergency checkpoint on any mid-run exception, then re-raise; a rerun
         # auto-resumes from it instead of restarting. Handles close either way.
+        # SIGTERM (batch schedulers, `timeout`, driver kills) is converted to
+        # an exception so it flows through the same emergency-checkpoint path
+        # instead of dropping up to i_weights-1 steps of progress. Main-thread
+        # only (signal.signal raises elsewhere) and restored on exit.
+        import signal as _signal
+
+        _prev_term = None
+
+        def _on_term(signum, frame):
+            raise KeyboardInterrupt(f"signal {signum}")
+
+        try:
+            if threading.current_thread() is threading.main_thread():
+                _prev_term = _signal.signal(_signal.SIGTERM, _on_term)
+        except (ValueError, OSError):
+            _prev_term = None
         try:
             with maybe_trace(cfg.profile_dir):
                 for i in range(start, n_iters, step_stride):
@@ -747,6 +764,12 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 metrics_log.close()
                 ckpt.close()
             raise
+        finally:
+            if _prev_term is not None:
+                try:
+                    _signal.signal(_signal.SIGTERM, _prev_term)
+                except (ValueError, OSError):
+                    pass
 
     metrics_log.close()
     if ckpt.latest_step() != int(state.step):  # i_weights may have just saved it

@@ -70,6 +70,64 @@ def test_emergency_checkpoint_on_crash(tmp_path, monkeypatch):
     ckpt.close()
 
 
+def test_emergency_checkpoint_on_sigterm(tmp_path, monkeypatch):
+    """SIGTERM (batch scheduler / `timeout` / driver kill) must leave a
+    resumable emergency checkpoint, same as an exception."""
+    import signal
+
+    from mvip_tpu.train import loop as L
+
+    images = np.random.default_rng(0).uniform(0, 1, (2, 12, 16, 3)).astype(np.float32)
+    masks = np.zeros((2, 12, 16), np.float32)
+    masks[:, 4:8, 5:10] = 1
+    depths = np.ones((2, 12, 16), np.float32) * 0.5
+    poses = np.tile(np.eye(4)[:3], (2, 1, 1)).astype(np.float32)
+    poses[:, 2, 3] = 4.0
+
+    def fake_load_scene(cfg):
+        from mvip_tpu.data.rays import build_ray_streams
+
+        streams = build_ray_streams(images, masks, depths, poses, 10.0)
+        return (streams, 2.0, 6.0, (12, 16, 10.0), poses, np.arange(2),
+                np.array([0]), poses[:1], images[:1])
+
+    monkeypatch.setattr(L, "load_scene", fake_load_scene)
+
+    cfg = Config(
+        expname="sigterm", basedir=str(tmp_path), N_rand=8, N_samples=4,
+        N_importance=0, no_tcnn=True, netdepth=2, netwidth=16, multires=2,
+        multires_views=2, depth_loss=False, N_iters=50, i_print=5, i_weights=100,
+        i_video=0, i_testset=0, raw_noise_std=1.0, second_stage=False,
+    )
+
+    calls = {"n": 0}
+    orig = L.make_train_step
+
+    def signalling_make(*a, **kw):
+        step = orig(*a, **kw)
+
+        def wrapped(state, streams, key):
+            calls["n"] += 1
+            if calls["n"] > 10:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return step(state, streams, key)
+
+        return wrapped
+
+    monkeypatch.setattr(L, "make_train_step", signalling_make)
+
+    with pytest.raises(KeyboardInterrupt, match="signal"):
+        L.train(cfg, log_fn=lambda *_: None)
+
+    from mvip_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(os.path.join(str(tmp_path), "sigterm", "ckpt"))
+    assert ckpt.latest_step() is not None and ckpt.latest_step() >= 9
+    ckpt.close()
+    # handler restored (default action) after train() unwound
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.Handlers.SIG_DFL)
+
+
 def test_data_parallel_matches_single_device():
     """The sharded step must produce identical losses on 1 vs 8 virtual devices
     (pure SPMD: sharding constraints change layout, not math)."""
