@@ -665,14 +665,24 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         # auto-resumes from it instead of restarting. Handles close either way.
         # SIGTERM (batch schedulers, `timeout`, driver kills) is converted to
         # an exception so it flows through the same emergency-checkpoint path
-        # instead of dropping up to i_weights-1 steps of progress. Main-thread
-        # only (signal.signal raises elsewhere) and restored on exit.
+        # instead of dropping up to i_weights-1 steps of progress. The handler
+        # only SETS A FLAG: the signal usually lands while the loop is blocked
+        # in a dispatch whose input state was DONATED — raising right away
+        # would leave `state` pointing at deleted buffers and the emergency
+        # device_get would fail. The flag is honored between dispatches, when
+        # the post-step state is whole. Main-thread only (signal.signal raises
+        # elsewhere); prior handler restored on exit.
         import signal as _signal
 
         _prev_term = None
+        _term_seen = []
 
         def _on_term(signum, frame):
-            raise KeyboardInterrupt(f"signal {signum}")
+            _term_seen.append(signum)
+
+        def _check_term():
+            if _term_seen:
+                raise KeyboardInterrupt(f"signal {_term_seen[0]}")
 
         try:
             if threading.current_thread() is threading.main_thread():
@@ -703,6 +713,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         )
                     else:
                         state, metrics = train_step(state, streams_dev, key)
+                    _check_term()
                     if i % cfg.i_print < step_stride:
                         # ONE stacked fetch: per-leaf device_get costs seconds of
                         # relay latency on tunneled TPUs (measured 4.2s for the dict
