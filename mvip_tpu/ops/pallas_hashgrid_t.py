@@ -46,16 +46,37 @@ from mvip_tpu.ops.pallas_hashgrid import _PRIMES_I32
 MAX_FUSED_LOG2_T = 19  # tcnn's default table size; see _cap_block for cost
 
 
-def _compiler_params(BT: int):
-    """Raise Mosaic's scoped-VMEM cap (default 16MB) for tcnn-capacity tables.
+def _compiler_params(BT: int, slab_elems: int = 0):
+    """Raise Mosaic's scoped-VMEM cap (default 16MB) for tcnn-capacity tables
+    and for corner-merged one-hot slabs.
 
     At 2^19 (BT=8192) the backward kernel's [128, BT] accumulator + output
     block + double-buffered [BT, B] one-hot slabs need ~28MB of kernel stack
     (measured: `Scoped allocation with size 27.59M ... limit 16.00M` on v5e);
-    the cap is permission, not usage, so the fast 2^15 default is unaffected."""
-    if BT <= 2048:
+    the cap is permission, not usage, so the fast 2^15 default is unaffected.
+    `slab_elems` = BT * merge * B of the widest in-kernel one-hot; above ~2M
+    f32 elements (8MB) the default cap needs the same raise."""
+    if BT <= 2048 and slab_elems <= (1 << 21):
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _auto_merge(BT: int, B: int) -> int:
+    """Corners per gather matmul (default 1 = unmerged).
+
+    Merging concatenates corner one-hots along lanes so one
+    [128, BT] @ [BT, MC*B] pass replaces MC per-corner matmuls — identical
+    MACs, fewer matmul dispatches, and (in the backward) MXU-internal
+    accumulation instead of MC-1 VPU adds of the [128, BT] accumulator.
+    MEASURED REFUTED as a perf lever (v5e, canonical 131k-pt load, T=2^15):
+    merge in {1,2,4,8} x block in {256,512,1024} all land at 14.1-15.9 ms fwd
+    and 14.3-15.9 ms table-grad — the kernel runs at ~78% of the MXU gather
+    roofline (8*L*F*T*B MACs = 11.2 ms at peak) at merge=1 already, so there
+    are no dispatch bubbles left to merge away. Same conclusion as the bf16
+    table-operand ablation (BASELINE.md r2): the encode is MAC-bound; only
+    fewer points (occupancy pruning) or a smaller T reduce its time. The
+    `merge` knob stays for future Mosaic regressions."""
+    return 1
 
 
 def _cap_block(block: int, BT: int) -> int:
@@ -139,7 +160,7 @@ def _corner_index_t(cxyz, res, use_dense, T):
 
 
 def _fwd_kernel_t(res_ref, dense_ref, x_ref, tbl_ref, out_ref, *, T, F, RE, BT,
-                  compute_dtype):
+                  compute_dtype, merge):
     lvl = pl.program_id(0)
     res = res_ref[lvl]
     use_dense = dense_ref[lvl]
@@ -153,27 +174,38 @@ def _fwd_kernel_t(res_ref, dense_ref, x_ref, tbl_ref, out_ref, *, T, F, RE, BT,
     shift = RE.bit_length() - 1       # RE = 128/F is a power of two
 
     acc = [jnp.zeros((1, B), jnp.float32) for _ in range(F)]
-    for c in range(8):
-        cxyz, w = _corner_math_t(xs, ys, zs, res, c)
-        idx = _corner_index_t(cxyz, res, use_dense, T)      # [1, B]
-        hi, lo = idx >> shift, idx & (RE - 1)
-        onehotT = (sub_bt == hi).astype(compute_dtype)      # [BT, B]
+    for c0 in range(0, 8, merge):
+        group = range(c0, min(c0 + merge, 8))
+        hots, ws, los = [], [], []
+        for c in group:
+            cxyz, w = _corner_math_t(xs, ys, zs, res, c)
+            idx = _corner_index_t(cxyz, res, use_dense, T)  # [1, B]
+            hots.append((sub_bt == (idx >> shift)).astype(compute_dtype))
+            los.append(idx & (RE - 1))
+            ws.append(w)
+        # lanes-concat the per-corner one-hots: one [128, BT] @ [BT, MC*B]
+        # matmul gathers every corner in the group (the [BT, B] operands are
+        # full vregs, so the concat is a pure lane-tiling op — concatenating
+        # the narrow [1, B] hi rows instead would be a banned narrow concat)
+        onehotT = hots[0] if len(hots) == 1 else jnp.concatenate(hots, 1)
         rows = jax.lax.dot_general(
             tblT.astype(compute_dtype), onehotT,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                    # [128, B]
-        sel = (sub_re == lo).astype(jnp.float32)             # [RE, B]
-        for f in range(F):
-            feat = jnp.sum(rows[f * RE:(f + 1) * RE] * sel, 0, keepdims=True)
-            acc[f] = acc[f] + w * feat
+        )                                                    # [128, MC*B]
+        for j in range(len(hots)):
+            r = rows if len(hots) == 1 else rows[:, j * B:(j + 1) * B]
+            sel = (sub_re == los[j]).astype(jnp.float32)     # [RE, B]
+            for f in range(F):
+                feat = jnp.sum(r[f * RE:(f + 1) * RE] * sel, 0, keepdims=True)
+                acc[f] = acc[f] + ws[j] * feat
 
     for f in range(F):
         out_ref[0, f:f + 1] = acc[f]
 
 
 def _bwd_table_kernel_t(res_ref, dense_ref, x_ref, g_ref, out_ref, *, T, F, RE,
-                        BT, compute_dtype):
+                        BT, compute_dtype, merge):
     lvl = pl.program_id(0)
     blk = pl.program_id(1)
     res = res_ref[lvl]
@@ -188,19 +220,28 @@ def _bwd_table_kernel_t(res_ref, dense_ref, x_ref, g_ref, out_ref, *, T, F, RE,
     shift = RE.bit_length() - 1
 
     acc = jnp.zeros((128, BT), jnp.float32)
-    for c in range(8):
-        cxyz, w = _corner_math_t(xs, ys, zs, res, c)
-        idx = _corner_index_t(cxyz, res, use_dense, T)
-        hi, lo = idx >> shift, idx & (RE - 1)
-        # weighted cotangent spread onto feature-major sublanes: [128, B]
-        grow = jnp.zeros((128, B), jnp.float32)
-        for f in range(F):
-            grow = grow + jnp.where(
-                sub128 == f * RE + lo, w * g[f:f + 1], 0.0
-            )
-        onehotT = (sub_bt == hi).astype(compute_dtype)       # [BT, B]
+    for c0 in range(0, 8, merge):
+        group = range(c0, min(c0 + merge, 8))
+        grows, hots = [], []
+        for c in group:
+            cxyz, w = _corner_math_t(xs, ys, zs, res, c)
+            idx = _corner_index_t(cxyz, res, use_dense, T)
+            hi, lo = idx >> shift, idx & (RE - 1)
+            # weighted cotangent spread onto feature-major sublanes: [128, B]
+            grow = jnp.zeros((128, B), jnp.float32)
+            for f in range(F):
+                grow = grow + jnp.where(
+                    sub128 == f * RE + lo, w * g[f:f + 1], 0.0
+                )
+            grows.append(grow)
+            hots.append((sub_bt == hi).astype(compute_dtype))
+        # lanes-concat the group: contracting over MC*B lanes scatter-adds
+        # every corner in ONE matmul — the cross-corner sum happens inside
+        # the MXU accumulator instead of MC-1 VPU adds of [128, BT]
+        growM = grows[0] if len(grows) == 1 else jnp.concatenate(grows, 1)
+        onehotT = hots[0] if len(hots) == 1 else jnp.concatenate(hots, 1)
         acc = acc + jax.lax.dot_general(
-            grow.astype(compute_dtype), onehotT,
+            growM.astype(compute_dtype), onehotT,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                     # [128, BT]
@@ -253,9 +294,9 @@ def _specs_t(B, BT, L, F):
 
 
 @partial(jax.jit, static_argnames=("table_size", "block", "compute_dtype",
-                                   "interpret", "res_static"))
+                                   "interpret", "res_static", "merge"))
 def _encode_fwd_t(table, x, res_arr, dense_arr, *, table_size, block,
-                  compute_dtype, interpret, res_static=None):
+                  compute_dtype, interpret, res_static=None, merge=None):
     L, T, F = table.shape
     if 128 % F:
         raise ValueError(f"n_features={F} must divide 128 for the fused path")
@@ -276,15 +317,16 @@ def _encode_fwd_t(table, x, res_arr, dense_arr, *, table_size, block,
     outs = []
     for (s, e, BTg) in groups:
         Lg = e - s
+        mc = merge if merge is not None else _auto_merge(BTg, block)
         smem, x_spec, tbl_spec, g_spec = _specs_t(block, BTg, Lg, F)
         outs.append(pl.pallas_call(
             partial(_fwd_kernel_t, T=T, F=F, RE=RE, BT=BTg,
-                    compute_dtype=jnp.dtype(compute_dtype)),
+                    compute_dtype=jnp.dtype(compute_dtype), merge=mc),
             grid=(Lg, NB),
             in_specs=[smem, smem, x_spec, tbl_spec],
             out_specs=g_spec,
             out_shape=jax.ShapeDtypeStruct((Lg, F, NB * block), jnp.float32),
-            compiler_params=_compiler_params(BTg),
+            compiler_params=_compiler_params(BTg, BTg * mc * block),
             interpret=interpret,
         )(res_arr[s:e], dense_arr[s:e], xT, tblT[s:e, :, :BTg]))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
@@ -294,9 +336,10 @@ def _encode_fwd_t(table, x, res_arr, dense_arr, *, table_size, block,
 
 
 @partial(jax.jit, static_argnames=("L", "F", "table_size", "block",
-                                   "compute_dtype", "interpret", "res_static"))
+                                   "compute_dtype", "interpret", "res_static",
+                                   "merge"))
 def _encode_bwd_table_t(x, g, res_arr, dense_arr, *, L, F, table_size, block,
-                        compute_dtype, interpret, res_static=None):
+                        compute_dtype, interpret, res_static=None, merge=None):
     T = table_size
     RE = 128 // F
     BT = T // RE
@@ -309,15 +352,16 @@ def _encode_bwd_table_t(x, g, res_arr, dense_arr, *, L, F, table_size, block,
     outs = []
     for (s, e, BTg) in groups:
         Lg = e - s
+        mc = merge if merge is not None else _auto_merge(BTg, block)
         smem, x_spec, tbl_spec, g_spec = _specs_t(block, BTg, Lg, F)
         out_g = pl.pallas_call(
             partial(_bwd_table_kernel_t, T=T, F=F, RE=RE, BT=BTg,
-                    compute_dtype=jnp.dtype(compute_dtype)),
+                    compute_dtype=jnp.dtype(compute_dtype), merge=mc),
             grid=(Lg, NB),
             in_specs=[smem, smem, x_spec, g_spec],
             out_specs=tbl_spec,
             out_shape=jax.ShapeDtypeStruct((Lg, 128, BTg), jnp.float32),
-            compiler_params=_compiler_params(BTg),
+            compiler_params=_compiler_params(BTg, BTg * mc * block),
             interpret=interpret,
         )(res_arr[s:e], dense_arr[s:e], xT, gT[s:e])
         if BTg < BT:  # entries beyond a dense level's range get zero grad
@@ -327,37 +371,41 @@ def _encode_bwd_table_t(x, g, res_arr, dense_arr, *, L, F, table_size, block,
     return lanes_to_table(out, T, F)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def hashgrid_encode_fused_t(table, x, res_arr, dense_arr, table_size,
                             block=1024, compute_dtype="float32",
-                            interpret=False, res_static=None):
+                            interpret=False, res_static=None, merge=None):
     """Transposed fused-MXU hash-grid encode: x [N, 3] in [0,1] -> [N, L*F].
 
     Drop-in for `hashgrid_encode_fused` (same hashing/trilinear semantics);
     see the module docstring for why this layout is faster. `res_static`
     (hashable tuple mirroring res_arr) enables dense-level slab trimming —
-    see `_level_groups`."""
+    see `_level_groups`. `merge` (1/2/4/8, None = auto) sets how many corners
+    share one gather matmul — see `_auto_merge`."""
     return _encode_fwd_t(table, x, res_arr, dense_arr, table_size=table_size,
                          block=block, compute_dtype=compute_dtype,
-                         interpret=interpret, res_static=res_static)
+                         interpret=interpret, res_static=res_static,
+                         merge=merge)
 
 
 def _fused_t_fwd(table, x, res_arr, dense_arr, table_size, block,
-                 compute_dtype, interpret, res_static):
+                 compute_dtype, interpret, res_static, merge):
     out = _encode_fwd_t(table, x, res_arr, dense_arr, table_size=table_size,
                         block=block, compute_dtype=compute_dtype,
-                        interpret=interpret, res_static=res_static)
+                        interpret=interpret, res_static=res_static,
+                        merge=merge)
     return out, (table, x, res_arr, dense_arr)
 
 
 def _fused_t_bwd(table_size, block, compute_dtype, interpret, res_static,
-                 res, g):
+                 merge, res, g):
     table, x, res_arr, dense_arr = res
     L, T, F = table.shape
     d_table = _encode_bwd_table_t(x, g, res_arr, dense_arr, L=L, F=F,
                                   table_size=table_size, block=block,
                                   compute_dtype=compute_dtype,
-                                  interpret=interpret, res_static=res_static)
+                                  interpret=interpret, res_static=res_static,
+                                  merge=merge)
     # position gradient via the XLA encode's VJP (gather-only; DCE'd in the
     # train step where positions carry no parameter dependence) — same
     # argument as pallas_hashgrid._fused_bwd

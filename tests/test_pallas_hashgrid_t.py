@@ -147,3 +147,32 @@ def test_transposed_big_table_block_cap():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("mc", [2, 8])
+def test_transposed_corner_merge_matches_xla(mc):
+    """Corner-merged gather matmuls (`merge` > 1: per-corner one-hots
+    lanes-concatenated into one [128, BT] @ [BT, MC*B] pass) are semantically
+    identical to the unmerged default — fwd and table-grad vs the XLA oracle.
+    Perf-refuted on v5e (see `_auto_merge`) but kept as an experiment knob."""
+    table, x, res_arr, dense, T = _setup(N=300)
+    ref = hashgrid_encode(table, x, res_arr, T, dense)
+    out = hashgrid_encode_fused_t(
+        table, x, res_arr, dense.astype(jnp.int32), T, block=256,
+        interpret=True, merge=mc,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g = jax.random.normal(jax.random.PRNGKey(3), (300, table.shape[0] * 2))
+
+    def loss_ref(t):
+        return jnp.sum(hashgrid_encode(t, x, res_arr, T, dense) * g)
+
+    def loss_mc(t):
+        return jnp.sum(hashgrid_encode_fused_t(
+            t, x, res_arr, dense.astype(jnp.int32), T, block=256,
+            interpret=True, merge=mc) * g)
+
+    gt_ref = jax.grad(loss_ref)(table)
+    gt_mc = jax.grad(loss_mc)(table)
+    np.testing.assert_allclose(np.asarray(gt_mc), np.asarray(gt_ref), atol=1e-4)
