@@ -51,12 +51,47 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def _restore_from_torch_tar(path: str, template: TrainState) -> TrainState:
+    """Reference `.tar` checkpoint (`DS_NeRF/run.py:1043-1053`) -> TrainState.
+
+    Only valid for the PE-MLP backbone (the reference's `--no_tcnn` model);
+    param shapes are validated against the template so a backbone mismatch
+    fails with a clear message instead of a tree error downstream. Optimizer
+    moments restart (torch-Adam internals don't map to optax)."""
+    from mvip_tpu.interop.torch_ckpt import import_reference_checkpoint
+
+    data = import_reference_checkpoint(path)
+    params = {"coarse": data["coarse"]}
+    if "fine" in template.params:
+        params["fine"] = data["fine"] if data["fine"] is not None else data["coarse"]
+    t_leaves, t_def = jax.tree.flatten(template.params)
+    i_leaves, i_def = jax.tree.flatten(params)
+    if t_def != i_def or any(
+        np.shape(a) != np.shape(b) for a, b in zip(t_leaves, i_leaves)
+    ):
+        raise ValueError(
+            f"torch checkpoint {path} (inferred coarse {data['cfg']}, fine "
+            f"{data['fine_cfg']}) does not match the configured model — "
+            f"importing reference .tar files requires `--backbone mlp` with "
+            f"matching netdepth/netwidth/netdepth_fine/netwidth_fine/multires"
+        )
+    import jax.numpy as jnp
+
+    return template._replace(
+        step=jnp.asarray(data["step"], jnp.int32),
+        params=jax.tree.map(jnp.asarray, params),
+    )
+
+
 def restore_from_path(path: str, template: TrainState) -> TrainState:
     """Pin a specific checkpoint (reference `--ft_path`, `run.py:1546-1547`).
 
-    `path` is either a checkpoint-manager step dir (`.../ckpt/<step>`) or the
-    manager dir itself (restores the newest)."""
+    `path` is either a checkpoint-manager step dir (`.../ckpt/<step>`), the
+    manager dir itself (restores the newest), or a reference torch `.tar`
+    file (imported via `mvip_tpu.interop`)."""
     path = os.path.abspath(path)
+    if os.path.isfile(path):
+        return _restore_from_torch_tar(path, template)
     base, leaf = os.path.dirname(path), os.path.basename(path)
     if leaf.isdigit():
         mgr = CheckpointManager(base)
