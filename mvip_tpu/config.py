@@ -187,6 +187,13 @@ class Config:
     gui: bool = False                        # reference spawns tkinter unconditionally
     profile_dir: Optional[str] = None        # jax.profiler trace output
     log_every: int = 100
+    # Multi-host (multi-process) launch — `jax.distributed.initialize` wiring
+    # (SURVEY §2.3: DCN scale-out runs the SAME program; the reference has no
+    # multi-process story at all). All processes run every dispatch (SPMD);
+    # process 0 owns the artifact writes. No-op at num_processes=1.
+    coordinator: Optional[str] = None        # "host:port" of process 0
+    num_processes: int = 1
+    process_id: Optional[int] = None
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -217,7 +224,10 @@ def _coerce(name: str, raw: str, ftype):
         args = [a for a in ftype.__args__ if a is not type(None)]
         if raw in ("None", "none"):  # reference guards `ft_path != 'None'`
             return None
-        if raw.lower() in _BOOL_FALSE and args[0] is not str:
+        # falsy words mean "unset" for optional non-string fields, but keep
+        # NUMERIC tokens literal: Optional[int] "--process_id 0" must be 0
+        if (raw.lower() in _BOOL_FALSE and args[0] is not str
+                and not raw.lstrip("+-").isdigit()):
             return None
         return _coerce(name, raw, args[0])
     if origin in (list, List) or str(ftype).startswith("typing.List"):

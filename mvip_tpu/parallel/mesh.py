@@ -29,14 +29,34 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree over the mesh."""
+    """Fully replicate a pytree over the mesh.
+
+    Multi-process meshes can't be fed by `device_put` (it rejects shardings
+    spanning non-addressable devices); every process passes its identical
+    full copy through `make_array_from_process_local_data` instead."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.device_put(tree, sharding)
 
 
 def shard_leading(tree, mesh: Mesh, axis: str = "data"):
-    """Shard every leaf's leading dim over the mesh axis."""
+    """Shard every leaf's leading dim over the mesh axis. In multi-process
+    runs each process passes ITS OWN contiguous slice of the global batch
+    (process p owns rows [p*L, (p+1)*L) of a num_processes*L global array)."""
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.device_put(tree, sharding)
 
 

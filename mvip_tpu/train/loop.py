@@ -416,13 +416,23 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
 
     t0 = _time.time()
 
+    # multi-host: every process runs every TRAIN dispatch (SPMD over the
+    # global mesh; jax.distributed.initialize happens in run.py before any
+    # backend use); process 0 owns artifact writes and renders main-locally
+    # on host-fetched params so eval never needs cross-process collectives
+    is_main = jax.process_index() == 0
+    multiproc = jax.process_count() > 1
+    if not is_main:
+        log_fn = lambda *a, **k: None  # noqa: E731 — quiet non-main processes
+
     def phase(name):
         log_fn(f"[{_time.time() - t0:.1f}s] {name}")
 
     exp = setup_experiment(cfg)
     phase("scene + streams + model init done")
     expdir = os.path.join(cfg.basedir, cfg.expname)
-    save_config(cfg, expdir)
+    if is_main:
+        save_config(cfg, expdir)
 
     optimizer = make_optimizer(cfg.lrate, cfg.lrate_decay)
     state = create_train_state(exp.init_params, optimizer)
@@ -659,7 +669,10 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
         metrics = None
-        metrics_log = open(os.path.join(expdir, "metrics.jsonl"), "a")
+        metrics_log = open(
+            os.path.join(expdir, "metrics.jsonl") if is_main else os.devnull,
+            "a",
+        )
         # failure containment (the reference has none — SURVEY §5): persist an
         # emergency checkpoint on any mid-run exception, then re-raise; a rerun
         # auto-resumes from it instead of restarting. Handles close either way.
@@ -753,17 +766,23 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     if i > start and i % cfg.i_weights < step_stride:
                         ckpt.save(jax.device_get(state))
                         log_fn(f"saved checkpoint at step {int(state.step)}")
-                    if i % cfg.i_print < step_stride:
+                    if is_main and i % cfg.i_print < step_stride:
                         watcher.check()  # apply control.json edits
                         import time as _t
 
                         while controls.paused:  # control.json {"paused": true}
                             _t.sleep(2)
                             watcher.check()
-                    if i > start and controls.i_video > 0 and i % int(controls.i_video) < step_stride:
-                        _render_videos(cfg, exp, state, expdir, lab, controls, log_fn)
-                    if i > start and cfg.i_testset > 0 and i % cfg.i_testset < step_stride:
-                        _render_testset(cfg, exp, state, expdir, lab, log_fn)
+                    # periodic renders: main-process only; in multi-process
+                    # runs fetch the (replicated, hence addressable) state to
+                    # host first so the render jits process-locally and the
+                    # other processes simply block at the next train dispatch
+                    if i > start and is_main and controls.i_video > 0 and i % int(controls.i_video) < step_stride:
+                        r_state = jax.device_get(state) if multiproc else state
+                        _render_videos(cfg, exp, r_state, expdir, lab, controls, log_fn)
+                    if i > start and is_main and cfg.i_testset > 0 and i % cfg.i_testset < step_stride:
+                        r_state = jax.device_get(state) if multiproc else state
+                        _render_testset(cfg, exp, r_state, expdir, lab, log_fn)
         except (KeyboardInterrupt, Exception):
             try:
                 if ckpt.latest_step() != int(state.step):

@@ -25,6 +25,11 @@ from mvip_tpu.config import load_config
 
 def main(argv=None):
     cfg = load_config(argv)
+    if cfg.num_processes > 1:
+        # must precede the first jax backend use in this process
+        from mvip_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(cfg.coordinator, cfg.num_processes, cfg.process_id)
     print(f"experiment {cfg.expname}: dataset={cfg.dataset_type} dir={cfg.datadir}")
 
     if cfg.render_test_ray:
