@@ -321,18 +321,25 @@ def make_mvip_train_step(
             base = jnp.mod(i, n_views)
             vids = jnp.clip(base + offs, 0, n_views - 1)             # [Nv]
 
-            def render_one(args):
-                kk, vid = args
-                r = _render_view_image(
-                    kk, streams, vid, Hc, Wc, focal / f, guided_render,
-                    keep=("rgb",),
-                )
-                m = jax.image.resize(streams.masks[vid][..., None], (Hc, Wc, 1),
-                                     "nearest")
-                return r["rgb"], m
+            # ONE batched render for all neighbor views: each view is only
+            # (H/f)x(W/f) ~ a few thousand rays, far below chip saturation —
+            # flattening the Nv ray grids into a single dispatch keeps the
+            # renderer at its large-batch rate instead of Nv small launches
+            # (the reference loops Python-side per view, `run.py:1365-1401`)
+            def rays_one(vid):
+                ro, rd = rays_for_pose(Hc, Wc, focal / f, streams.poses[vid])
+                return ro.reshape(-1, 3), rd.reshape(-1, 3)
 
-            keys_c = jax.random.split(k_rc, mcfg.colla_n_views)
-            rgbs, masks_c = jax.lax.map(render_one, (keys_c, vids))
+            ros, rds = jax.vmap(rays_one)(vids)                  # [Nv, R, 3]
+            ret_c = guided_render(
+                k_rc, ros.reshape(-1, 3), rds.reshape(-1, 3), ("rgb",)
+            )
+            rgbs = ret_c["rgb"].reshape(mcfg.colla_n_views, Hc, Wc, 3)
+            masks_c = jax.vmap(
+                lambda vid: jax.image.resize(
+                    streams.masks[vid][..., None], (Hc, Wc, 1), "nearest"
+                )
+            )(vids)
             sds_c, c_gmag = sds_colla_step(
                 k_c, gm, sds_colla_cfg, i, rgbs, masks_c, text_pair_rgb,
                 return_aux=True,
