@@ -173,6 +173,65 @@ def bench_mlp_fused() -> float:
     return ITERS * N_RAND / dt
 
 
+def bench_mlp_fused_occ() -> float:
+    """Fused-Pallas MLP step + interval-occupancy pruning (keep=0.5, phantom-
+    sample ladders): the timed loop includes the EMA grid refresh at its
+    production cadence. Pruning selectivity doesn't change the compute shape
+    (K is static), so the rate is honest regardless of scene content."""
+    import jax
+
+    from mvip_tpu.data.rays import build_ray_streams
+    from mvip_tpu.models.nerf_mlp import (
+        NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp,
+    )
+    from mvip_tpu.ops.occupancy import (
+        OccupancyConfig, init_grid, sigma_fn_from_apply, update_grid,
+    )
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.fused_step import make_fused_train_step
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import DeviceStreams, StepConfig
+
+    images, masks, depths, poses, focal = _scene()
+    streams = build_ray_streams(images, masks, depths, poses, focal)
+    H, W = images.shape[1:3]
+    mcfg = NeRFMLPConfig()
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg),
+        "fine": init_nerf_mlp(jax.random.PRNGKey(2), mcfg),
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg, pts, vd)
+    ropts = RenderOptions(n_samples=N_SAMPLES, n_importance=N_IMPORTANCE,
+                          perturb=1.0, lindisp=True, raw_noise_std=1.0,
+                          white_bkgd=True)
+    scfg = StepConfig(n_rand=N_RAND, depth_loss=True, depth_lambda=0.1,
+                      near=1.2, far=7.7, H=H, W=W, focal=focal)
+    occ = OccupancyConfig(res=128, bound=8.3, keep=0.5, thresh=1e-2,
+                          mode="interval")
+    optimizer = make_optimizer(3e-3, 10)
+    state = create_train_state(params, optimizer)
+    step = make_fused_train_step(scfg, ropts, mcfg, optimizer, occ_cfg=occ)
+    refresh = jax.jit(
+        lambda g, p, k: update_grid(g, sigma_fn_from_apply(apply_fn, p["fine"]),
+                                    k, occ)
+    )
+    ds = DeviceStreams.from_host(streams)
+
+    key = jax.random.PRNGKey(0)
+    grid = refresh(init_grid(occ), state.params, jax.random.fold_in(key, 999))
+    for i in range(WARMUP):
+        state, metrics = step(state, ds, jax.random.fold_in(key, i), grid)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        if i % occ.update_every == 0:
+            grid = refresh(grid, state.params, jax.random.fold_in(key, 500 + i))
+        state, metrics = step(state, ds, jax.random.fold_in(key, WARMUP + i), grid)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return ITERS * N_RAND / dt
+
+
 def bench_hash_fused_step() -> float:
     """Fused hash-grid train step (ops/pallas_hash_train.py): transposed
     encode -> in-kernel MLP/composite/loss/backward -> table-grad kernel,
@@ -364,6 +423,7 @@ def main():
     hash_fused_rate = bench_backbone("hashgrid_fused") if on_tpu else 0.0
     hash_fused_step_rate = bench_hash_fused_step() if on_tpu else 0.0
     hash_occ_rate = bench_hash_occ() if on_tpu else 0.0
+    mlp_fused_occ_rate = bench_mlp_fused_occ() if on_tpu else 0.0
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -383,6 +443,7 @@ def main():
         "vs_baseline": round(best / baseline, 2) if baseline else None,
         "mlp_xla_step_rays_per_sec": round(mlp_rate, 1),
         "mlp_fused_step_rays_per_sec": round(fused_rate, 1),
+        "mlp_fused_occ_rays_per_sec": round(mlp_fused_occ_rate, 1),
         "mlp_megastep_rays_per_sec": round(scan_rate, 1),
         "triplane_rays_per_sec": round(tri_rate, 1),
         "hashgrid_rays_per_sec": round(hash_rate, 1),

@@ -163,9 +163,12 @@ class Config:
     max_masked_pixels: int = 0               # 0 = auto (max over train views, padded)
     # Occupancy-grid sample pruning (ops/occupancy.py) — opt-in instant-NGP
     # style accelerator with NO reference counterpart: each render stage keeps
-    # occ_keep of its samples, chosen by an EMA density grid. Guidance-off
-    # XLA-step paths only (the fused-Pallas MLP step has S baked into its
-    # kernel shapes); warmup steps run unpruned while the grid fills.
+    # occ_keep of its samples, chosen by an EMA density grid. Supported
+    # everywhere: the guidance-off XLA-step paths (both modes) and — interval
+    # mode, via the phantom-sample ladder trick — the fused-Pallas guidance-off
+    # MLP step and the guidance-on MVIP step, where every render (masked view,
+    # normal view, collaborative neighbors, base batches, fused Pallas or XLA)
+    # prunes. Warmup steps run unpruned while the grid fills.
     occ_grid: bool = False
     occ_res: int = 128                       # grid resolution per axis
     occ_bound: float = 0.0                   # grid AABB half-extent; 0 = auto

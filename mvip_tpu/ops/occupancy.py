@@ -144,6 +144,27 @@ def _prune_interval(grid, rays_o, rays_d, z_vals, *, keep: int, res: int,
     return zk, jnp.concatenate([d, last], -1)
 
 
+# Noise value that forces a sample's post-relu sigma to zero inside the
+# render kernels (raw sigma magnitudes are O(10)): relu(sigma - 1e9) == 0, so
+# alpha == 0 exactly and the sample contributes nothing forward or backward.
+PHANTOM_NOISE = -1e9
+
+
+def phantom_ladder(z_p: jnp.ndarray, d_p: jnp.ndarray) -> jnp.ndarray:
+    """Encode a pruned ladder's custom last-stratum width into the ladder
+    itself, for renderers that derive dists from z-diffs with a hardcoded
+    1e10 tail (the fused Pallas kernels, `pallas_train.composite_fwd`).
+
+    Interval-mode pruned dists are exactly [diff(z_p), last_width], so
+    appending ONE phantom sample at `z_p[-1] + last_width` makes the kernel's
+    internal diffs reproduce them bit-for-bit — provided the caller forces
+    the phantom sample's sigma to zero via its noise slot (`PHANTOM_NOISE`),
+    which also zeroes its gradient (relu' == 0). Top-k-mode dists are NOT
+    ladder diffs (kept samples keep their original stratum widths), so this
+    trick is interval-only."""
+    return jnp.concatenate([z_p, z_p[..., -1:] + d_p[..., -1:]], -1)
+
+
 def make_pruner(grid: jnp.ndarray, cfg: OccupancyConfig) -> Callable:
     """Returns pruner(rays_o, rays_d, z_vals) -> (z [R, K], dists [R, K]) —
     compacted z-samples plus per-sample widths (K = ceil(S * cfg.keep),

@@ -312,11 +312,18 @@ def hash_train_hier_render(
     white_bkgd: bool = False,
     block_rays: int = 16,
     interpret: bool = False,
+    pruner=None,
 ) -> Dict[str, jnp.ndarray]:
     """Hash-grid twin of `fused_train_hier_render`: stochastic coarse ->
     importance -> fine render on the fused kernels, differentiable w.r.t. the
     FINE model only (the coarse pass only feeds the detached importance draw).
-    Key split order matches `render/renderer.py:render_rays`."""
+    Key split order matches `render/renderer.py:render_rays`.
+
+    `pruner`: optional interval-mode occupancy pruner (`ops/occupancy.py`)
+    applied at both stages exactly like `render_rays` does; the pruned
+    last-stratum width rides a phantom sample (`phantom_ladder`) whose noise
+    slot zeroes its sigma, so the kernels stay untouched."""
+    from mvip_tpu.ops.occupancy import PHANTOM_NOISE, phantom_ladder
     from mvip_tpu.ops.pallas_sampling import sample_pdf_pallas
     from mvip_tpu.ops.sampling import merge_z_vals, sample_pdf, stratified_z_vals
 
@@ -326,11 +333,30 @@ def hash_train_hier_render(
     else:
         k_strat, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
 
-    z = stratified_z_vals(k_strat, R, n_samples, near, far,
-                          lindisp=lindisp, perturb=perturb)
-    noise0 = (
-        jax.random.normal(k_noise0, (R, n_samples)) * raw_noise_std
-        if raw_noise_std > 0 else jnp.zeros((R, n_samples))
+    def _pruned(z, k_noise, need_array):
+        """(ladder, noise key) -> (ladder', noise', had_phantom)."""
+        had = False
+        if pruner is not None:
+            z_p, d_p = pruner(rays_o, rays_d, z)
+            z = z_p
+            if d_p is not None:
+                z = phantom_ladder(z_p, d_p)
+                had = True
+        S = z.shape[-1]
+        if raw_noise_std > 0:
+            noise = jax.random.normal(k_noise, (R, S)) * raw_noise_std
+        elif need_array or had:
+            noise = jnp.zeros((R, S))
+        else:
+            noise = None
+        if had:
+            noise = noise.at[:, -1].set(PHANTOM_NOISE)
+        return z, noise, had
+
+    z, noise0, ph0 = _pruned(
+        stratified_z_vals(k_strat, R, n_samples, near, far,
+                          lindisp=lindisp, perturb=perturb),
+        k_noise0, need_array=True,
     )
     pc = jax.lax.stop_gradient(params_coarse)
     x01, enc, sh, _, _ = _encode_inputs(pc, hcfg, rays_o, rays_d, z, interpret)
@@ -338,19 +364,21 @@ def hash_train_hier_render(
     coarse = _render_fwd_call(nets, rays_d, z, noise0, sh, enc,
                               hcfg.geo_feat_dim, hcfg.sh_dim, white_bkgd,
                               block_rays, interpret)
-    z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
-    w_mid = jax.lax.stop_gradient(coarse["weights"][:, 1:-1])
+    # importance PDF over the REAL samples only (drop the phantom slot — its
+    # weight is 0 but its huge midpoint would stretch the last CDF bin)
+    z_r = z[:, :-1] if ph0 else z
+    w_r = coarse["weights"][:, :-1] if ph0 else coarse["weights"]
+    z_mid = 0.5 * (z_r[:, 1:] + z_r[:, :-1])
+    w_mid = jax.lax.stop_gradient(w_r[:, 1:-1])
     if interpret:
         z_fine = sample_pdf(z_mid, w_mid, n_importance, key=k_pdf,
                             det=(perturb == 0.0))
     else:
         z_fine = sample_pdf_pallas(z_mid, w_mid, n_importance, key=k_pdf,
                                    det=(perturb == 0.0))
-    z_all = merge_z_vals(z, jax.lax.stop_gradient(z_fine))
-    S_all = n_samples + n_importance
-    noise1 = (
-        jax.random.normal(k_noise1, (R, S_all)) * raw_noise_std
-        if raw_noise_std > 0 else None
+    z_all, noise1, _ = _pruned(
+        merge_z_vals(z_r, jax.lax.stop_gradient(z_fine)),
+        k_noise1, need_array=False,
     )
     return hash_train_render(params_fine, hcfg, rays_o, rays_d, z_all,
                              white_bkgd=white_bkgd, block_rays=block_rays,

@@ -344,6 +344,7 @@ def fused_train_hier_render(
     white_bkgd: bool = False,
     block_rays: int = 16,
     interpret: bool = False,
+    pruner=None,
 ) -> Dict[str, jnp.ndarray]:
     """Training-mode hierarchical render on the fused megakernels,
     differentiable w.r.t. the FINE params only.
@@ -360,35 +361,58 @@ def fused_train_hier_render(
     from mvip_tpu.ops.pallas_sampling import sample_pdf_pallas
     from mvip_tpu.ops.sampling import merge_z_vals, sample_pdf, stratified_z_vals
 
+    from mvip_tpu.ops.occupancy import PHANTOM_NOISE, phantom_ladder
+
     R = rays_o.shape[0]
     if key is None:
         k_strat = k_noise0 = k_pdf = k_noise1 = None
     else:
         k_strat, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
 
-    z = stratified_z_vals(k_strat, R, n_samples, near, far,
-                          lindisp=lindisp, perturb=perturb)
-    noise0 = (
-        jax.random.normal(k_noise0, (R, n_samples)) * raw_noise_std
-        if raw_noise_std > 0 else None
+    def _pruned(z, k_noise):
+        """Interval-occupancy pruning with the phantom-sample last-width
+        trick (`ops/occupancy.phantom_ladder`) — see the hash-grid twin."""
+        had = False
+        if pruner is not None:
+            z_p, d_p = pruner(rays_o, rays_d, z)
+            z = z_p
+            if d_p is not None:
+                z = phantom_ladder(z_p, d_p)
+                had = True
+        S = z.shape[-1]
+        if raw_noise_std > 0:
+            noise = jax.random.normal(k_noise, (R, S)) * raw_noise_std
+        elif had:
+            noise = jnp.zeros((R, S))
+        else:
+            noise = None
+        if had:
+            noise = noise.at[:, -1].set(PHANTOM_NOISE)
+        return z, noise, had
+
+    z, noise0, ph0 = _pruned(
+        stratified_z_vals(k_strat, R, n_samples, near, far,
+                          lindisp=lindisp, perturb=perturb),
+        k_noise0,
     )
     pc = jax.lax.stop_gradient(params_coarse)
     coarse = fused_render_mlp(pc, cfg, rays_o, rays_d, z,
                               white_bkgd=white_bkgd, block_rays=block_rays,
                               interpret=interpret, noise=noise0)
-    z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
-    w_mid = jax.lax.stop_gradient(coarse["weights"][:, 1:-1])
+    # importance PDF over the REAL samples only (phantom's huge midpoint
+    # would stretch the last CDF bin)
+    z_r = z[:, :-1] if ph0 else z
+    w_r = coarse["weights"][:, :-1] if ph0 else coarse["weights"]
+    z_mid = 0.5 * (z_r[:, 1:] + z_r[:, :-1])
+    w_mid = jax.lax.stop_gradient(w_r[:, 1:-1])
     if interpret:
         z_fine = sample_pdf(z_mid, w_mid, n_importance, key=k_pdf,
                             det=(perturb == 0.0))
     else:
         z_fine = sample_pdf_pallas(z_mid, w_mid, n_importance, key=k_pdf,
                                    det=(perturb == 0.0))
-    z_all = merge_z_vals(z, jax.lax.stop_gradient(z_fine))
-    S_all = n_samples + n_importance
-    noise1 = (
-        jax.random.normal(k_noise1, (R, S_all)) * raw_noise_std
-        if raw_noise_std > 0 else None
+    z_all, noise1, _ = _pruned(
+        merge_z_vals(z_r, jax.lax.stop_gradient(z_fine)), k_noise1
     )
     out = fused_train_render(params_fine, cfg, rays_o, rays_d, z_all,
                              white_bkgd=white_bkgd, block_rays=block_rays,

@@ -93,8 +93,17 @@ def make_fused_train_step(
     interpret: bool = False,
     mesh=None,
     n_devices: int = 1,
+    occ_cfg=None,
 ):
-    """Build the fused (state, streams, key) -> (state, metrics) step.
+    """Build the fused (state, streams, key[, occ_grid]) -> (state, metrics)
+    step.
+
+    With `occ_cfg` (an interval-mode `ops/occupancy.OccupancyConfig`) the
+    step accepts a trailing `occ_grid` array and prunes BOTH stages' ladders
+    before the megakernels via the phantom-sample last-width trick
+    (`ops/occupancy.phantom_ladder` + `PHANTOM_NOISE` — the kernels stay
+    untouched; the phantom's sigma and gradient are exactly zero). Calling
+    without `occ_grid` traces the unpruned program (warmup phase).
 
     `mcfg` selects the backbone: a NeRFMLPConfig runs the PE-MLP megakernel
     (`ops/pallas_train.py`); a HashGridConfig runs the three-kernel hash-grid
@@ -145,7 +154,14 @@ def make_fused_train_step(
             s_depth = jnp.zeros((R,))
         return s_rgb, s_disp, s_depth
 
-    def step_grads(params, streams: DeviceStreams, key):
+    if occ_cfg is not None and occ_cfg.mode != "interval":
+        raise ValueError(
+            "fused step occupancy pruning is interval-mode only (topk dists "
+            "are not ladder diffs, so the phantom-sample trick cannot encode "
+            "them — see ops/occupancy.phantom_ladder)"
+        )
+
+    def step_grads(params, streams: DeviceStreams, key, occ_grid=None):
         # batch 3 needs actual COLMAP depth data; like base_losses
         # (`train/step.py:176`), skip it when the stream is empty (shapes are
         # static under jit, so this is a trace-time branch)
@@ -185,11 +201,37 @@ def make_fused_train_step(
         )
         zeros_s = jnp.zeros((R,))
 
-        z = stratified_z_vals(k_z0, R, S, scfg.near, scfg.far,
-                              lindisp=ropts.lindisp, perturb=ropts.perturb)
-        noise0 = (
-            jax.random.normal(k_n0, (R, S)) * ropts.raw_noise_std
-            if ropts.raw_noise_std > 0 else jnp.zeros((R, S))
+        pruner = None
+        if occ_cfg is not None and occ_grid is not None:
+            from mvip_tpu.ops.occupancy import make_pruner
+
+            pruner = make_pruner(occ_grid, occ_cfg)
+
+        def _pruned(z, k_noise):
+            """Interval-occupancy pruning with the phantom-sample last-width
+            trick — same recipe as `fused_train_hier_render`."""
+            from mvip_tpu.ops.occupancy import PHANTOM_NOISE, phantom_ladder
+
+            had = False
+            if pruner is not None:
+                z_p, d_p = pruner(ro, rd, z)
+                z = z_p
+                if d_p is not None:
+                    z = phantom_ladder(z_p, d_p)
+                    had = True
+            Sz = z.shape[-1]
+            noise = (
+                jax.random.normal(k_noise, (R, Sz)) * ropts.raw_noise_std
+                if ropts.raw_noise_std > 0 else jnp.zeros((R, Sz))
+            )
+            if had:
+                noise = noise.at[:, -1].set(PHANTOM_NOISE)
+            return z, noise, had
+
+        z, noise0, ph0 = _pruned(
+            stratified_z_vals(k_z0, R, S, scfg.near, scfg.far,
+                              lindisp=ropts.lindisp, perturb=ropts.perturb),
+            k_n0,
         )
         m0, g_coarse = render_grads(
             params["coarse"], mcfg, ro, rd, z, noise0,
@@ -198,25 +240,24 @@ def make_fused_train_step(
             interpret=interpret,
         )
 
-        z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+        # importance PDF over the REAL samples only (the phantom's weight is
+        # 0 but its huge midpoint would stretch the last CDF bin)
+        z_r = z[:, :-1] if ph0 else z
+        w_r = m0["weights"][:, :-1] if ph0 else m0["weights"]
+        z_mid = 0.5 * (z_r[:, 1:] + z_r[:, :-1])
         if interpret:
             from mvip_tpu.ops.sampling import sample_pdf
 
-            z_fine = sample_pdf(z_mid, m0["weights"][:, 1:-1],
+            z_fine = sample_pdf(z_mid, w_r[:, 1:-1],
                                 ropts.n_importance, key=k_pdf,
                                 det=(ropts.perturb == 0.0))
         else:
             from mvip_tpu.ops.pallas_sampling import sample_pdf_pallas
 
-            z_fine = sample_pdf_pallas(z_mid, m0["weights"][:, 1:-1],
+            z_fine = sample_pdf_pallas(z_mid, w_r[:, 1:-1],
                                        ropts.n_importance, key=k_pdf,
                                        det=(ropts.perturb == 0.0))
-        z_all = merge_z_vals(z, z_fine)
-        S_all = S + ropts.n_importance
-        noise1 = (
-            jax.random.normal(k_n1, (R, S_all)) * ropts.raw_noise_std
-            if ropts.raw_noise_std > 0 else jnp.zeros((R, S_all))
-        )
+        z_all, noise1, _ = _pruned(merge_z_vals(z_r, z_fine), k_n1)
         m1, g_fine = render_grads(
             params["fine"], mcfg, ro, rd, z_all, noise1,
             t_rgb, t_disp, t_depth, s_rgb, s_disp, s_depth,
@@ -250,25 +291,32 @@ def make_fused_train_step(
 
         axis = mesh.axis_names[0]
 
-        def sharded_grads(params, streams, key):
+        def sharded_grads(params, streams, key, *g):
             # distinct ray draws per device; grads/losses psum over ICI
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-            grads, metrics = step_grads(params, streams, key)
+            grads, metrics = step_grads(params, streams, key,
+                                        g[0] if g else None)
             grads = jax.lax.psum(grads, axis)
             metrics = jax.lax.psum(metrics, axis)
             metrics["psnr"] = mse2psnr(metrics["img_loss"])  # not summable
             return grads, metrics
 
-        grads_fn = shard_map(
-            sharded_grads, mesh=mesh,
-            in_specs=(P(), P(), P()), out_specs=(P(), P()),
-            **sm_kwargs,
-        )
+        def grads_fn(params, streams, key, occ_grid=None):
+            # the occ grid rides shard_map explicitly (replicated spec)
+            # rather than via closure capture
+            extra = () if occ_grid is None else (occ_grid,)
+            return shard_map(
+                sharded_grads, mesh=mesh,
+                in_specs=(P(), P(), P()) + ((P(),) if occ_grid is not None
+                                            else ()),
+                out_specs=(P(), P()), **sm_kwargs,
+            )(params, streams, key, *extra)
     else:
         grads_fn = step_grads
 
-    def train_step(state: TrainState, streams: DeviceStreams, key):
-        grads, metrics = grads_fn(state.params, streams, key)
+    def train_step(state: TrainState, streams: DeviceStreams, key,
+                   occ_grid=None):
+        grads, metrics = grads_fn(state.params, streams, key, occ_grid)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
@@ -286,18 +334,21 @@ def make_fused_train_scan(
     interpret: bool = False,
     mesh=None,
     n_devices: int = 1,
+    occ_cfg=None,
 ):
     """Megastep variant: lax.scan of n_inner fused steps per dispatch."""
     step = make_fused_train_step(scfg, ropts, mcfg, optimizer,
                                  block_rays=block_rays, interpret=interpret,
-                                 mesh=mesh, n_devices=n_devices)
+                                 mesh=mesh, n_devices=n_devices,
+                                 occ_cfg=occ_cfg)
 
-    def one_step(carry, key):
-        state, streams = carry
-        state, metrics = step(state, streams, key)
-        return (state, streams), metrics
+    def train_scan(state: TrainState, streams: DeviceStreams, key,
+                   occ_grid=None):
+        def one_step(carry, k):
+            st, strm = carry
+            st, metrics = step(st, strm, k, occ_grid)
+            return (st, strm), metrics
 
-    def train_scan(state: TrainState, streams: DeviceStreams, key):
         keys = jax.random.split(key, n_inner)
         (state, _), metrics = jax.lax.scan(one_step, (state, streams), keys)
         return state, jax.tree.map(lambda m: m[-1], metrics)

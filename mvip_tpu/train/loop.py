@@ -476,6 +476,48 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         from mvip_tpu.train.guidance_setup import build_guidance, needs_guidance
 
         use_guidance = needs_guidance(cfg) and cfg.second_stage
+
+        occ_cfg = None
+        occ_refresh = train_step_occ = occ_grid_arr = None
+        if cfg.occ_grid:
+            bound = getattr(exp.model_cfg, "bound", None)
+            if bound is None:
+                log_fn("occ_grid: backbone has no AABB bound; pruning disabled")
+            else:
+                from mvip_tpu.ops.occupancy import OccupancyConfig
+
+                if cfg.occ_bound > 0:
+                    occ_bound = float(cfg.occ_bound)
+                else:
+                    # auto-fit the grid AABB to the ray span: every sample
+                    # lies within |camera| + far * max|dir| of the origin
+                    # (ray dirs are NOT unit: corner pixels reach
+                    # sqrt((W/2f)^2 + (H/2f)^2 + 1) — without the factor,
+                    # corner samples at depth ~far fall outside the grid
+                    # and read boundary cells as unoccupied)
+                    cam = float(
+                        np.abs(np.asarray(exp.streams.poses)[:, :3, 3]).max()
+                    )
+                    f = float(np.asarray(exp.scfg.focal).max())
+                    dmax = float(np.sqrt(
+                        (exp.scfg.W / (2 * f)) ** 2
+                        + (exp.scfg.H / (2 * f)) ** 2 + 1.0
+                    ))
+                    occ_bound = min(
+                        float(bound),
+                        1.05 * (cam + float(exp.scfg.far) * dmax),
+                    )
+                occ_cfg = OccupancyConfig(
+                    res=cfg.occ_res, bound=occ_bound, keep=cfg.occ_keep,
+                    thresh=cfg.occ_thresh,
+                    update_every=cfg.occ_update_every,
+                    warmup=cfg.occ_warmup, mode=cfg.occ_mode,
+                )
+                if use_guidance and occ_cfg.mode != "interval":
+                    log_fn("occ_grid: guidance renders support interval mode "
+                           "only; pruning disabled")
+                    occ_cfg = None
+
         if use_guidance:
             from mvip_tpu.train.mvip_step import (
                 fused_guidance_supported,
@@ -505,50 +547,20 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 mcfg, gm, s_rgb, s_nrm, s_col, pair_rgb, pair_nrm,
                 fused_mlp_cfg=fused_mlp_cfg,
                 mesh=mesh if mesh.size > 1 else None,
+                occ_cfg=occ_cfg,
                 n_inner=guid_inner,
             )
+            # same callable serves warmup (occ_grid=None -> unpruned trace)
+            # and the pruned phase (5th arg = the grid)
+            train_step_occ = train_step
             if guid_inner > 1:
                 phase(f"guidance megastep selected ({guid_inner}/dispatch)")
             phase("guidance models resident (SDS on)")
-        occ_cfg = None
-        occ_refresh = train_step_occ = occ_grid_arr = None
-        if not use_guidance:
-            if cfg.occ_grid:
-                bound = getattr(exp.model_cfg, "bound", None)
-                if bound is None:
-                    log_fn(
-                        "occ_grid: backbone has no AABB bound; pruning disabled"
-                    )
-                else:
-                    from mvip_tpu.ops.occupancy import OccupancyConfig
-
-                    if cfg.occ_bound > 0:
-                        occ_bound = float(cfg.occ_bound)
-                    else:
-                        # auto-fit the grid AABB to the ray span: every sample
-                        # lies within |camera| + far * max|dir| of the origin
-                        # (ray dirs are NOT unit: corner pixels reach
-                        # sqrt((W/2f)^2 + (H/2f)^2 + 1) — without the factor,
-                        # corner samples at depth ~far fall outside the grid
-                        # and read boundary cells as unoccupied)
-                        cam = float(
-                            np.abs(np.asarray(exp.streams.poses)[:, :3, 3]).max()
-                        )
-                        f = float(np.asarray(exp.scfg.focal).max())
-                        dmax = float(np.sqrt(
-                            (exp.scfg.W / (2 * f)) ** 2
-                            + (exp.scfg.H / (2 * f)) ** 2 + 1.0
-                        ))
-                        occ_bound = min(
-                            float(bound),
-                            1.05 * (cam + float(exp.scfg.far) * dmax),
-                        )
-                    occ_cfg = OccupancyConfig(
-                        res=cfg.occ_res, bound=occ_bound, keep=cfg.occ_keep,
-                        thresh=cfg.occ_thresh,
-                        update_every=cfg.occ_update_every,
-                        warmup=cfg.occ_warmup, mode=cfg.occ_mode,
-                    )
+            if occ_cfg is not None:
+                phase(
+                    f"interval-occupancy pruning on guidance renders (keep "
+                    f"{occ_cfg.keep}, warmup {occ_cfg.warmup})"
+                )
         if not use_guidance:
             from mvip_tpu.train.fused_step import (
                 fused_step_supported,
@@ -557,9 +569,40 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
             )
 
             n_inner = step_stride = max(int(cfg.megastep), 1)
-            if occ_cfg is not None:
-                # occupancy pruning runs on the XLA step (the fused-Pallas MLP
-                # kernels bake S into their shapes); build the unpruned warmup
+            fused_ok = cfg.use_pallas and fused_step_supported(
+                exp.scfg, exp.ropts, exp.backbone, exp.model_cfg,
+                n_devices=mesh.size,
+            )
+            if fused_ok and (occ_cfg is None or occ_cfg.mode == "interval"):
+                # MLP fast path: render + loss + backward fused into two
+                # Pallas kernels per step (ops/pallas_train.py); per-device
+                # under shard_map with psum'd grads when the mesh has >1 chip.
+                # Interval-occupancy pruning rides the same step (phantom-
+                # sample trick — the same callable serves the unpruned warmup
+                # trace and the pruned one).
+                if n_inner > 1:
+                    train_step = make_fused_train_scan(
+                        exp.scfg, exp.ropts, exp.model_cfg, optimizer,
+                        n_inner=n_inner, mesh=mesh, n_devices=mesh.size,
+                        occ_cfg=occ_cfg,
+                    )
+                    phase(f"fused Pallas megastep selected ({n_inner}/dispatch)")
+                else:
+                    train_step = make_fused_train_step(
+                        exp.scfg, exp.ropts, exp.model_cfg, optimizer,
+                        mesh=mesh, n_devices=mesh.size, occ_cfg=occ_cfg,
+                    )
+                    phase("fused Pallas train step selected")
+                if occ_cfg is not None:
+                    train_step_occ = train_step
+                    phase(
+                        f"interval-occupancy pruning on the fused step (res "
+                        f"{occ_cfg.res}, bound {occ_cfg.bound:.2f}, keep "
+                        f"{occ_cfg.keep}, warmup {occ_cfg.warmup})"
+                    )
+            elif occ_cfg is not None:
+                # occupancy pruning on the XLA step (topk mode, or configs
+                # the fused kernels don't cover); build the unpruned warmup
                 # step plus the pruned one
                 from mvip_tpu.train.step import make_train_scan
 
@@ -586,25 +629,6 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     f"{occ_cfg.bound:.2f}, keep {occ_cfg.keep}, warmup "
                     f"{occ_cfg.warmup})"
                 )
-            elif cfg.use_pallas and fused_step_supported(
-                exp.scfg, exp.ropts, exp.backbone, exp.model_cfg,
-                n_devices=mesh.size,
-            ):
-                # MLP fast path: render + loss + backward fused into two
-                # Pallas kernels per step (ops/pallas_train.py); per-device
-                # under shard_map with psum'd grads when the mesh has >1 chip
-                if n_inner > 1:
-                    train_step = make_fused_train_scan(
-                        exp.scfg, exp.ropts, exp.model_cfg, optimizer,
-                        n_inner=n_inner, mesh=mesh, n_devices=mesh.size,
-                    )
-                    phase(f"fused Pallas megastep selected ({n_inner}/dispatch)")
-                else:
-                    train_step = make_fused_train_step(
-                        exp.scfg, exp.ropts, exp.model_cfg, optimizer,
-                        mesh=mesh, n_devices=mesh.size,
-                    )
-                    phase("fused Pallas train step selected")
             elif n_inner > 1:
                 from mvip_tpu.train.step import make_train_scan
 
@@ -717,9 +741,16 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                             jax.random.fold_in(base_key, (1 << 30) + i),
                         )
                     if use_guidance:
-                        state, metrics = train_step(
-                            state, streams_dev, key, jnp.asarray(i, jnp.int32)
-                        )
+                        if occ_cfg is not None and i >= occ_cfg.warmup:
+                            state, metrics = train_step(
+                                state, streams_dev, key,
+                                jnp.asarray(i, jnp.int32), occ_grid_arr,
+                            )
+                        else:
+                            state, metrics = train_step(
+                                state, streams_dev, key,
+                                jnp.asarray(i, jnp.int32),
+                            )
                     elif occ_cfg is not None and i >= occ_cfg.warmup:
                         state, metrics = train_step_occ(
                             state, streams_dev, key, occ_grid_arr

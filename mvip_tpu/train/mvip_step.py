@@ -161,6 +161,11 @@ def make_mvip_train_step(
     mesh=None,                       # 1-D data mesh with size > 1 => fused
                                      # guidance renders shard the ray axis
                                      # via shard_map (grads psum over ICI)
+    occ_cfg=None,                    # OccupancyConfig => interval-occupancy
+                                     # pruning of every render in the step
+                                     # (guidance + base losses); the returned
+                                     # step then takes a 5th `occ_grid` arg
+                                     # (None during warmup = unpruned trace)
     interpret: bool = False,         # CPU interpret mode for the fused path
     n_inner: int = 1,                # >1: lax.scan this many MVIP steps per
                                      # dispatch (guidance megastep)
@@ -173,10 +178,16 @@ def make_mvip_train_step(
     H, W, focal = scfg.H, scfg.W, scfg.focal
     n_imp = ropts.n_importance
 
-    def guidance_losses(params, streams: DeviceStreams, key, i):
+    def guidance_losses(params, streams: DeviceStreams, key, i, occ_grid=None):
         from mvip_tpu.train.step import model_fns
 
         coarse_fn, fine_fn = model_fns(params, coarse_apply, fine_apply)
+
+        pruner = None
+        if occ_cfg is not None and occ_grid is not None:
+            from mvip_tpu.ops.occupancy import make_pruner
+
+            pruner = make_pruner(occ_grid, occ_cfg)
 
         if fused_mlp_cfg is not None:
             from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
@@ -190,14 +201,14 @@ def make_mvip_train_step(
                     hash_train_hier_render as hier_render,
                 )
 
-            def _hier(p, kk, ro, rd):
+            def _hier(p, kk, ro, rd, pr=None):
                 pf = p["fine"] if p.get("fine") else p["coarse"]
                 return hier_render(
                     kk, p["coarse"], pf, fused_mlp_cfg, ro, rd,
                     scfg.near, scfg.far, ropts.n_samples, ropts.n_importance,
                     perturb=ropts.perturb, raw_noise_std=ropts.raw_noise_std,
                     lindisp=ropts.lindisp, white_bkgd=ropts.white_bkgd,
-                    interpret=interpret,
+                    interpret=interpret, pruner=pr,
                 )
 
             if mesh is not None and mesh.size > 1:
@@ -234,27 +245,44 @@ def make_mvip_train_step(
                             [rd, jnp.broadcast_to(rd[-1:], (pad, 3))]
                         )
 
-                    def slice_render(p, k, o, d):
+                    # the occ grid rides shard_map explicitly (replicated
+                    # spec) rather than via closure capture; the per-shard
+                    # pruner is rebuilt from the sliced-in grid
+                    extra = () if pruner is None else (occ_grid,)
+
+                    def slice_render(p, k, o, d, *g):
                         # distinct stochastic draws per device slice
                         k = jax.random.fold_in(k, jax.lax.axis_index(axis))
-                        out = _hier(p, k, o, d)
+                        pr = None
+                        if g:
+                            from mvip_tpu.ops.occupancy import make_pruner
+
+                            pr = make_pruner(g[0], occ_cfg)
+                        out = _hier(p, k, o, d, pr)
                         return {kk2: out[kk2] for kk2 in keep}
 
                     out = shard_map(
                         slice_render, mesh=mesh,
-                        in_specs=(P(), P(), P(axis), P(axis)),
+                        in_specs=(P(), P(), P(axis), P(axis))
+                        + ((P(),) if pruner is not None else ()),
                         out_specs=P(axis), **sm_kwargs,
-                    )(params, kk, ro, rd)
+                    )(params, kk, ro, rd, *extra)
                     return {k2: v[:n] for k2, v in out.items()}
             else:
                 def guided_render(kk, ro, rd, keep):
-                    out = _hier(params, kk, ro, rd)
+                    out = _hier(params, kk, ro, rd, pruner)
                     return {k: out[k] for k in keep}
         else:
+            import dataclasses as _dc
+
+            ropts_g = (
+                ropts if pruner is None else _dc.replace(ropts, pruner=pruner)
+            )
+
             def guided_render(kk, ro, rd, keep):
                 return _render_chunked_remat(
                     kk, ro, rd, scfg.near, scfg.far, coarse_fn, fine_fn,
-                    ropts, mcfg.render_chunk, keep,
+                    ropts_g, mcfg.render_chunk, keep,
                 )
         k_view, k_r, k_sds, k_n, k_rn, k_c, k_rc = jax.random.split(key, 7)
         n_views = streams.images.shape[0]
@@ -350,19 +378,28 @@ def make_mvip_train_step(
 
         return sds_total, metrics
 
-    def loss_fn(params, streams: DeviceStreams, key, i):
+    def loss_fn(params, streams: DeviceStreams, key, i, occ_grid=None):
         k_base, k_guide = jax.random.split(key)
-        loss, metrics = base_losses(params, streams, k_base, scfg, ropts,
+        ropts_b = ropts
+        if occ_cfg is not None and occ_grid is not None:
+            import dataclasses as _dc
+
+            from mvip_tpu.ops.occupancy import make_pruner
+
+            ropts_b = _dc.replace(ropts, pruner=make_pruner(occ_grid, occ_cfg))
+        loss, metrics = base_losses(params, streams, k_base, scfg, ropts_b,
                                     coarse_apply, fine_apply)
-        sds_loss, gmetrics = guidance_losses(params, streams, k_guide, i)
+        sds_loss, gmetrics = guidance_losses(params, streams, k_guide, i,
+                                             occ_grid)
         loss = loss + mcfg.sds_loss_weight * sds_loss
         metrics.update(gmetrics)
         metrics["loss"] = loss
         return loss, metrics
 
-    def one_step(state: TrainState, streams: DeviceStreams, key, i):
+    def one_step(state: TrainState, streams: DeviceStreams, key, i,
+                 occ_grid=None):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, streams, key, i
+            state.params, streams, key, i, occ_grid
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -377,9 +414,11 @@ def make_mvip_train_step(
     # per-step masked-view render + SDS). The step index i0+j stays a traced
     # scalar, so the in-step anneals/gates (`sd_utils.py:363`,
     # `nerf/utils.py:298`) see every inner step exactly as at stride 1.
-    def train_scan(state: TrainState, streams: DeviceStreams, key, i0):
+    def train_scan(state: TrainState, streams: DeviceStreams, key, i0,
+                   occ_grid=None):
         def body(st, j):
-            return one_step(st, streams, jax.random.fold_in(key, j), i0 + j)
+            return one_step(st, streams, jax.random.fold_in(key, j), i0 + j,
+                            occ_grid)
 
         state, metrics = jax.lax.scan(body, state, jnp.arange(n_inner))
         return state, jax.tree.map(lambda m: m[-1], metrics)

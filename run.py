@@ -30,7 +30,8 @@ def main(argv=None):
         from mvip_tpu.parallel.mesh import initialize_multihost
 
         initialize_multihost(cfg.coordinator, cfg.num_processes, cfg.process_id)
-    print(f"experiment {cfg.expname}: dataset={cfg.dataset_type} dir={cfg.datadir}")
+    if cfg.process_id in (None, 0):
+        print(f"experiment {cfg.expname}: dataset={cfg.dataset_type} dir={cfg.datadir}")
 
     if cfg.render_test_ray:
         # sigma-along-ray probe (the reference's broken `--render_test_ray`

@@ -327,3 +327,69 @@ def test_mvip_step_normal_gating(key):
     )
     _, m_after = step(state2, streams, key, jnp.asarray(150))
     assert float(m_after["sds_normal"]) != 0.0
+
+
+def test_mvip_step_with_interval_occupancy(key):
+    """Full MVIP step (all three SDS branches) with interval-occupancy
+    pruning (occ_cfg set, occ_grid passed as the 5th arg): every render in
+    the step prunes; finite losses, params move, and the SAME callable runs
+    the unpruned warmup trace when occ_grid is omitted."""
+    from mvip_tpu.ops.occupancy import OccupancyConfig, dense_refresh, init_grid
+
+    images, masks, depths, poses, focal = _tiny_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+
+    mcfg_model = NeRFMLPConfig(depth=2, width=32, multires=4, multires_views=2)
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg_model),
+        "fine": init_nerf_mlp(jax.random.PRNGKey(2), mcfg_model),
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg_model, pts, vd)
+
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
+                          raw_noise_std=1.0)
+    scfg = StepConfig(n_rand=32, depth_loss=True, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(
+        sds_loss_weight=1e-4,
+        is_rgb_guidance=True,
+        is_normal_guidance=True, normal_start=0, normalmap_render_factor=2,
+        normal_k=5,
+        is_colla_guidance=True, colla_n_views=3, colla_render_factor=2,
+        render_chunk=64,
+    )
+    occ_cfg = OccupancyConfig(res=16, bound=6.0, keep=0.5, thresh=1e-3,
+                              n_probe=16**3, warmup=0, mode="interval")
+    grid = dense_refresh(
+        init_grid(occ_cfg),
+        lambda pts: jnp.full(pts.shape[:-1], 1.0), key, occ_cfg, passes=4,
+    )
+    optimizer = make_optimizer(5e-3, 250)
+    state = create_train_state(params, optimizer)
+    step = make_mvip_train_step(
+        scfg, ropts, apply_fn, apply_fn, optimizer, mcfg, gm,
+        scfg_sds, scfg_sds, scfg_sds, te, te, occ_cfg=occ_cfg,
+    )
+
+    p0 = jax.tree.map(lambda a: np.asarray(a).copy(), state.params)
+    # warmup trace (no grid) then the pruned trace
+    state, m0 = step(state, streams, jax.random.fold_in(key, 0),
+                     jnp.asarray(1))
+    state, metrics = step(state, streams, jax.random.fold_in(key, 1),
+                          jnp.asarray(2), grid)
+    for k in ("loss", "sds_rgb", "sds_normal", "sds_colla"):
+        assert np.isfinite(float(m0[k])), f"warmup {k}"
+        assert np.isfinite(float(metrics[k])), f"pruned {k}"
+    moved = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()) > 0,
+                     state.params, p0)
+    )
+    assert any(moved)

@@ -249,3 +249,79 @@ def test_pruner_keep_one_is_identity():
     zp, dp = pruner(ro, rd, z)
     assert dp is None
     np.testing.assert_array_equal(np.asarray(zp), np.asarray(z))
+
+
+def test_fused_mlp_hier_pruned_matches_xla_renderer():
+    """The fused-megakernel hierarchical render with an interval pruner
+    (phantom-sample last-width trick, `ops/occupancy.phantom_ladder`) must
+    reproduce `render_rays` with the SAME pruner in deterministic mode —
+    same ladders, same importance draws, phantom contributes exactly zero."""
+    from mvip_tpu.models.nerf_mlp import (
+        NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp,
+    )
+    from mvip_tpu.ops.pallas_render_grad import fused_train_hier_render
+
+    mcfg = NeRFMLPConfig(depth=2, width=32, skips=(), multires=4,
+                         multires_views=2)
+    params = init_nerf_mlp(jax.random.PRNGKey(3), mcfg)
+    grid = _built_grid()
+    pruner = make_pruner(grid, CFG_INT)
+    ro = jnp.stack(
+        [jnp.linspace(-2.0, 2.0, 16), jnp.zeros(16), jnp.full((16,), -4.0)], -1
+    )
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (16, 3))
+
+    def fn(pts, vd):
+        return apply_nerf_mlp(params, mcfg, pts, vd)
+
+    opts = RenderOptions(n_samples=32, n_importance=16, perturb=0.0,
+                         raw_noise_std=0.0, white_bkgd=True,
+                         use_pallas=False, pruner=pruner)
+    ref = render_rays(jax.random.PRNGKey(5), ro, rd, 0.1, 7.9, fn, fn, opts)
+    out = fused_train_hier_render(
+        jax.random.PRNGKey(5), params, params, mcfg, ro, rd, 0.1, 7.9,
+        32, 16, perturb=0.0, raw_noise_std=0.0, white_bkgd=True,
+        interpret=True, pruner=pruner,
+    )
+    for k in ("rgb", "depth", "acc"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), atol=2e-4,
+            err_msg=f"fused pruned map {k} diverged from XLA",
+        )
+
+
+@pytest.mark.slow
+def test_fused_hash_hier_pruned_matches_xla_renderer():
+    """Hash-grid twin of the test above (interpret-mode encode)."""
+    from mvip_tpu.models.nerf_hashgrid import (
+        HashGridConfig, apply_hashgrid_nerf, init_hashgrid_nerf,
+    )
+    from mvip_tpu.ops.pallas_hash_render import hash_train_hier_render
+
+    hcfg = HashGridConfig(n_levels=4, log2_table_size=10, bound=4.0,
+                          fused=False)
+    params = init_hashgrid_nerf(jax.random.PRNGKey(4), hcfg)
+    grid = _built_grid()
+    pruner = make_pruner(grid, CFG_INT)
+    ro = jnp.stack(
+        [jnp.linspace(-2.0, 2.0, 8), jnp.zeros(8), jnp.full((8,), -4.0)], -1
+    )
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (8, 3))
+
+    def fn(pts, vd):
+        return apply_hashgrid_nerf(params, hcfg, pts, vd)
+
+    opts = RenderOptions(n_samples=16, n_importance=8, perturb=0.0,
+                         raw_noise_std=0.0, white_bkgd=True,
+                         use_pallas=False, pruner=pruner)
+    ref = render_rays(jax.random.PRNGKey(6), ro, rd, 0.1, 7.9, fn, fn, opts)
+    out = hash_train_hier_render(
+        jax.random.PRNGKey(6), params, params, hcfg, ro, rd, 0.1, 7.9,
+        16, 8, perturb=0.0, raw_noise_std=0.0, white_bkgd=True,
+        interpret=True, pruner=pruner,
+    )
+    for k in ("rgb", "depth", "acc"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), atol=2e-4,
+            err_msg=f"fused hash pruned map {k} diverged from XLA",
+        )

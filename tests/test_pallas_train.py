@@ -202,3 +202,76 @@ def test_fused_step_trains():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_fused_step_with_interval_occupancy():
+    """The fused step with interval-occupancy pruning (phantom-sample ladder,
+    `ops/occupancy.phantom_ladder`): the SAME callable serves the unpruned
+    warmup trace (no occ_grid) and the pruned one; pruned training stays
+    finite and descends on a tiny scene."""
+    from mvip_tpu.ops.occupancy import OccupancyConfig, dense_refresh, init_grid
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.fused_step import make_fused_train_step
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import StepConfig
+
+    streams, ds, params = _tiny_scene()
+    scfg = StepConfig(n_rand=32, depth_loss=True, depth_lambda=0.1,
+                      near=1.0, far=7.0, H=16, W=16, focal=20.0)
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=1.0,
+                          raw_noise_std=1.0, white_bkgd=True)
+    occ_cfg = OccupancyConfig(res=16, bound=7.0, keep=0.5, thresh=1e-3,
+                              n_probe=16**3, warmup=0, mode="interval")
+    # half-occupied grid (z < 0 empty) so the interval pruner actually narrows
+    grid = dense_refresh(
+        init_grid(occ_cfg),
+        lambda pts: jnp.where(pts[..., 2] > 0.0, 1.0, 0.0),
+        jax.random.PRNGKey(9), occ_cfg, passes=4,
+    )
+    optimizer = make_optimizer(3e-3, 10)
+    state = create_train_state(params, optimizer)
+    step = make_fused_train_step(scfg, ropts, CFG, optimizer, block_rays=16,
+                                 interpret=True, occ_cfg=occ_cfg)
+
+    key = jax.random.PRNGKey(0)
+    # warmup trace (no grid)
+    state, m0 = step(state, ds, jax.random.fold_in(key, 100))
+    assert np.isfinite(float(m0["loss"]))
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, ds, jax.random.fold_in(key, i), grid)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_fused_train_kernel_phantom_sample_is_inert():
+    """A phantom sample (appended z, PHANTOM_NOISE in its noise slot) must
+    leave the kernel's loss AND gradients exactly at the XLA oracle's values
+    for the same augmented inputs — and contribute zero itself (relu' == 0),
+    so the pruned-dists encoding is exact."""
+    from mvip_tpu.ops.occupancy import PHANTOM_NOISE, phantom_ladder
+
+    args = _setup(R=16, S=8)
+    (params, ro, rd, z, noise, t_rgb, t_disp, t_depth,
+     s_rgb, s_disp, s_depth) = args
+    z_ph = phantom_ladder(z, jnp.full_like(z[..., :1], 0.3))
+    noise_ph = jnp.concatenate(
+        [noise, jnp.full_like(noise[..., :1], PHANTOM_NOISE)], -1
+    )
+    metrics, grads = fused_train_render_grads(
+        params, CFG, ro, rd, z_ph, noise_ph, t_rgb, t_disp, t_depth,
+        s_rgb, s_disp, s_depth, white_bkgd=True, block_rays=8, interpret=True,
+    )
+    loss_p = metrics["sq_rgb"] + metrics["sq_disp"] + metrics["sq_depth"]
+    loss_x, grads_x = jax.value_and_grad(_xla_loss)(
+        params, ro, rd, z_ph, noise_ph, t_rgb, t_disp, t_depth,
+        s_rgb, s_disp, s_depth, True,
+    )
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+    for pg, xg in zip(jax.tree_util.tree_leaves(grads),
+                      jax.tree_util.tree_leaves(grads_x)):
+        np.testing.assert_allclose(np.asarray(pg), np.asarray(xg),
+                                   atol=1e-5, rtol=1e-4)
+    # the phantom's weight is exactly zero
+    assert float(jnp.abs(metrics["weights"][:, -1]).max()) == 0.0
