@@ -165,10 +165,20 @@ def phantom_ladder(z_p: jnp.ndarray, d_p: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([z_p, z_p[..., -1:] + d_p[..., -1:]], -1)
 
 
-def make_pruner(grid: jnp.ndarray, cfg: OccupancyConfig) -> Callable:
+def make_pruner(grid: jnp.ndarray, cfg: OccupancyConfig,
+                append: int = 0, quantum: int = 1) -> Callable:
     """Returns pruner(rays_o, rays_d, z_vals) -> (z [R, K], dists [R, K]) —
     compacted z-samples plus per-sample widths (K = ceil(S * cfg.keep),
-    static per input shape). Plugs into `RenderOptions.pruner`."""
+    static per input shape). Plugs into `RenderOptions.pruner`.
+
+    `append`/`quantum`: kernel-shape alignment for the fused-Pallas callers —
+    K is rounded UP (never down: extra samples only help quality) so that
+    K + append is a multiple of `quantum`. The fused train/render kernels hit
+    a Mosaic scheduling cliff at ladder lengths that aren't multiples of 8
+    (measured 13.7x at S=33 vs S=32 and 22x at S=49 vs S=48 on one v5e,
+    BASELINE.md); fused callers pass append=1 (the phantom sample,
+    `phantom_ladder`) and quantum=8. XLA consumers handle any K and use the
+    defaults."""
 
     if cfg.mode not in ("interval", "topk"):
         raise ValueError(f"unknown occupancy mode {cfg.mode!r} "
@@ -179,6 +189,10 @@ def make_pruner(grid: jnp.ndarray, cfg: OccupancyConfig) -> Callable:
 
         S = z_vals.shape[-1]
         keep = max(4, min(S, math.ceil(S * cfg.keep)))
+        if quantum > 1:
+            keep = max(
+                keep, -(-(keep + append) // quantum) * quantum - append
+            )
         if keep >= S:
             return z_vals, None
         fn = _prune_interval if cfg.mode == "interval" else _prune

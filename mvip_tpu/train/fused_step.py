@@ -205,7 +205,9 @@ def make_fused_train_step(
         if occ_cfg is not None and occ_grid is not None:
             from mvip_tpu.ops.occupancy import make_pruner
 
-            pruner = make_pruner(occ_grid, occ_cfg)
+            # append=1 (the phantom sample), quantum=8: keep the kernels'
+            # ladder lengths on the fast Mosaic shapes (see make_pruner)
+            pruner = make_pruner(occ_grid, occ_cfg, append=1, quantum=8)
 
         def _pruned(z, k_noise):
             """Interval-occupancy pruning with the phantom-sample last-width

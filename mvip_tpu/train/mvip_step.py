@@ -187,7 +187,13 @@ def make_mvip_train_step(
         if occ_cfg is not None and occ_grid is not None:
             from mvip_tpu.ops.occupancy import make_pruner
 
-            pruner = make_pruner(occ_grid, occ_cfg)
+            # fused renders append a phantom sample and need ladder lengths
+            # on the fast Mosaic shapes (multiples of 8 — see make_pruner);
+            # the XLA chunked path handles any K
+            if fused_mlp_cfg is not None:
+                pruner = make_pruner(occ_grid, occ_cfg, append=1, quantum=8)
+            else:
+                pruner = make_pruner(occ_grid, occ_cfg)
 
         if fused_mlp_cfg is not None:
             from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
@@ -257,7 +263,8 @@ def make_mvip_train_step(
                         if g:
                             from mvip_tpu.ops.occupancy import make_pruner
 
-                            pr = make_pruner(g[0], occ_cfg)
+                            pr = make_pruner(g[0], occ_cfg,
+                                             append=1, quantum=8)
                         out = _hier(p, k, o, d, pr)
                         return {kk2: out[kk2] for kk2 in keep}
 

@@ -8,6 +8,8 @@ reference counterpart (`DS_NeRF/run.py:1703-1847` always evaluates all
 64+64 samples).
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -249,6 +251,30 @@ def test_pruner_keep_one_is_identity():
     zp, dp = pruner(ro, rd, z)
     assert dp is None
     np.testing.assert_array_equal(np.asarray(zp), np.asarray(z))
+
+
+def test_pruner_alignment_quantum():
+    """Fused callers request K + append on a multiple of `quantum` (the
+    Mosaic ladder-length cliff: 13.7-22x at S=33/49 vs 32/48, BASELINE.md);
+    rounding must go UP (never drop below ceil(S*keep)) and collapse to the
+    unpruned passthrough when it reaches S."""
+    grid = _built_grid()
+    ro = jnp.zeros((4, 3))
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4, 3))
+    for S, keep, quantum, append in [(64, 0.5, 8, 1), (96, 0.5, 8, 1),
+                                     (64, 0.3, 8, 1), (33, 0.5, 8, 1)]:
+        cfg = OccupancyConfig(res=16, bound=4.0, keep=keep, thresh=1e-3,
+                              mode="interval")
+        pruner = make_pruner(grid, cfg, append=append, quantum=quantum)
+        z = jnp.broadcast_to(jnp.linspace(0.1, 7.9, S), (4, S))
+        zp, dp = pruner(ro, rd, z)
+        K = zp.shape[-1]
+        if dp is None:
+            assert K == S        # rounded to/past S -> unpruned passthrough
+        else:
+            assert (K + append) % quantum == 0
+            assert K >= math.ceil(S * keep)
+            assert K < S
 
 
 def test_fused_mlp_hier_pruned_matches_xla_renderer():
