@@ -16,6 +16,7 @@ and implementation are TPU-native, not a port.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -134,6 +135,30 @@ def attn_init(key, query_dim: int, heads: int, dim_head: int,
     }
 
 
+def _use_flash_attention(is_self: bool, mask, Tq: int, Tk: int, dh: int) -> bool:
+    """Opt-in (MVIP_FLASH_ATTN=1) Pallas TPU flash-attention path for long
+    self-attention — measured at SD-1.5 scale and REFUTED as a default:
+
+    Standalone jits (one v5e, bf16, tunnel-inflated but like-for-like) showed
+    a win at S=1024 dh=80 (flash 3.9 ms vs XLA 8.5) and a loss at S=4096
+    dh=40 (11.1 vs 5.7 — padding dh to the 128-lane MXU tile triples the
+    QK^T FLOPs). But inside the FULL 860M-param inpaint UNet the selective
+    gate is a net loss anyway (tools/bench_guidance.py, CFG pair bf16:
+    43.1 ms flash vs 37.9 XLA; colla batch-10: 175.7 vs 166.7): XLA fuses
+    the materialized-logits softmax chain with its neighbors better than the
+    kernel boundary allows, and the [B,T,H,D]->[B,H,T,D] transposes around
+    the kernel are pure overhead. Kept as a knob for future shapes (e.g.
+    1024px latents, S=16k, where logits no longer fit HBM comfortably).
+    Cross-attention (Tk=77) always stays XLA: kv fits one tile."""
+    if not os.environ.get("MVIP_FLASH_ATTN"):
+        return False
+    return (
+        is_self and mask is None and Tq == Tk
+        and Tq >= 512 and dh >= 64
+        and jax.default_backend() == "tpu"
+    )
+
+
 def attention(
     p: Params,
     x: jnp.ndarray,                       # [B, Tq, C]
@@ -141,6 +166,7 @@ def attention(
     heads: int = 8,
     mask: Optional[jnp.ndarray] = None,   # [Tq, Tk] additive
 ) -> jnp.ndarray:
+    is_self = context is None
     context = x if context is None else context
     q, k, v = linear(p["q"], x), linear(p["k"], context), linear(p["v"], context)
     B, Tq, inner = q.shape
@@ -149,6 +175,16 @@ def attention(
     q = q.reshape(B, Tq, heads, dh)
     k = k.reshape(B, Tk, heads, dh)
     v = v.reshape(B, Tk, heads, dh)
+    if _use_flash_attention(is_self, mask, Tq, Tk, dh):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), sm_scale=1.0 / math.sqrt(dh),
+        ).transpose(0, 2, 1, 3)
+        return linear(p["o"], out.reshape(B, Tq, inner).astype(x.dtype))
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(dh)
     if mask is not None:
