@@ -393,3 +393,65 @@ def test_mvip_step_with_interval_occupancy(key):
                      state.params, p0)
     )
     assert any(moved)
+
+
+def test_mvip_megastep_with_occupancy_matches_stride1(key):
+    """Guidance megastep (n_inner=2) COMBINED with interval-occupancy pruning
+    must produce the same params as two pruned stride-1 dispatches — the scan
+    carry threads the occ grid through every inner step (the combination the
+    CLI runs with `--megastep N --occ_grid`)."""
+    from mvip_tpu.ops.occupancy import OccupancyConfig, dense_refresh, init_grid
+
+    images, masks, depths, poses, focal = _tiny_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+    mcfg_model = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg_model),
+        "fine": None,
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg_model, pts, vd)
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+    ropts = RenderOptions(n_samples=6, n_importance=0, perturb=1.0,
+                          raw_noise_std=0.0)
+    scfg = StepConfig(n_rand=16, depth_loss=False, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(sds_loss_weight=1e-4, is_rgb_guidance=True,
+                      render_chunk=64)
+    occ_cfg = OccupancyConfig(res=16, bound=6.0, keep=0.5, thresh=1e-3,
+                              n_probe=16**3, warmup=0, mode="interval")
+    grid = dense_refresh(
+        init_grid(occ_cfg),
+        lambda pts: jnp.full(pts.shape[:-1], 1.0), key, occ_cfg, passes=4,
+    )
+    optimizer = make_optimizer(5e-3, 250)
+    args = (scfg, ropts, apply_fn, None, optimizer, mcfg, gm,
+            scfg_sds, scfg_sds, scfg_sds, te, te)
+
+    step1 = make_mvip_train_step(*args, occ_cfg=occ_cfg)
+    scan2 = make_mvip_train_step(*args, occ_cfg=occ_cfg, n_inner=2)
+
+    p_host = jax.tree.map(lambda a: np.asarray(a).copy(), params)
+    fresh = lambda: jax.tree.map(jnp.asarray, p_host)
+
+    s_a = create_train_state(fresh(), optimizer)
+    base = jax.random.fold_in(key, 9)
+    for j in range(2):
+        s_a, m_a = step1(s_a, streams, jax.random.fold_in(base, j),
+                         jnp.asarray(4 + j, jnp.int32), grid)
+
+    s_b = create_train_state(fresh(), optimizer)
+    s_b, m_b = scan2(s_b, streams, base, jnp.asarray(4, jnp.int32), grid)
+
+    assert int(s_b.step) == int(s_a.step) == 2
+    for la, lb in zip(jax.tree_util.tree_leaves(s_a.params),
+                      jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=2e-5, atol=2e-6)
