@@ -150,11 +150,14 @@ def _use_flash_attention(is_self: bool, mask, Tq: int, Tk: int, dh: int) -> bool
     the kernel are pure overhead. Kept as a knob for future shapes (e.g.
     1024px latents, S=16k, where logits no longer fit HBM comfortably).
     Cross-attention (Tk=77) always stays XLA: kv fits one tile."""
-    if not os.environ.get("MVIP_FLASH_ATTN"):
+    if os.environ.get("MVIP_FLASH_ATTN", "").lower() in ("", "0", "false", "no"):
         return False
     return (
         is_self and mask is None and Tq == Tk
-        and Tq >= 512 and dh >= 64
+        # the kernel's default BlockSizes are 128 (raises on indivisible
+        # seqs); 64 <= dh <= 128 is the measured-win range — dh=512 (the
+        # VAE mid-block) and dh=40 are unmeasured/refuted shapes
+        and Tq >= 512 and Tq % 128 == 0 and 64 <= dh <= 128
         and jax.default_backend() == "tpu"
     )
 

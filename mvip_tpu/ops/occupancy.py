@@ -165,6 +165,22 @@ def phantom_ladder(z_p: jnp.ndarray, d_p: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([z_p, z_p[..., -1:] + d_p[..., -1:]], -1)
 
 
+def pruner_quantum(model_cfg) -> int:
+    """Ladder-length quantum for `make_pruner` by backbone config.
+
+    The Mosaic scheduling cliff (13.7-22x at ladder lengths that aren't
+    multiples of 8, BASELINE.md) lives in the fused PE-MLP kernels
+    (`ops/pallas_train.py`, `ops/pallas_render_grad.py`) — those need
+    quantum=8. The hash-grid kernels measured NO cliff at misaligned K+1
+    (config-5 ran a clean 2.0x at keep=0.5 with K+1=33/49), so rounding up
+    would only add ~19% samples: quantum=1, fewer samples wins. The ONE
+    place that decides this for every fused caller (mvip_step guidance
+    renders, both quantum sites; fused_step plain fits)."""
+    from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
+
+    return 8 if isinstance(model_cfg, NeRFMLPConfig) else 1
+
+
 def make_pruner(grid: jnp.ndarray, cfg: OccupancyConfig,
                 append: int = 0, quantum: int = 1) -> Callable:
     """Returns pruner(rays_o, rays_d, z_vals) -> (z [R, K], dists [R, K]) —

@@ -203,11 +203,13 @@ def make_fused_train_step(
 
         pruner = None
         if occ_cfg is not None and occ_grid is not None:
-            from mvip_tpu.ops.occupancy import make_pruner
+            from mvip_tpu.ops.occupancy import make_pruner, pruner_quantum
 
-            # append=1 (the phantom sample), quantum=8: keep the kernels'
-            # ladder lengths on the fast Mosaic shapes (see make_pruner)
-            pruner = make_pruner(occ_grid, occ_cfg, append=1, quantum=8)
+            # append=1 (the phantom sample); quantum is per-backbone — the
+            # MLP megakernel cliffs at non-multiple-of-8 ladders, the hash
+            # three-kernel chain doesn't (see ops/occupancy.pruner_quantum)
+            pruner = make_pruner(occ_grid, occ_cfg, append=1,
+                                 quantum=pruner_quantum(mcfg))
 
         def _pruned(z, k_noise):
             """Interval-occupancy pruning with the phantom-sample last-width

@@ -60,12 +60,6 @@ class MVIPConfig:
     render_chunk: int = 8192        # masked-pixel render chunk (remat'd)
 
 
-def _is_mlp_cfg(cfg) -> bool:
-    from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
-
-    return isinstance(cfg, NeRFMLPConfig)
-
-
 def composite_masked_render(gt, coords, count, rgb):
     """GT image with rendered RGB scattered into the first `count` mask coords.
 
@@ -193,15 +187,14 @@ def make_mvip_train_step(
         if occ_cfg is not None and occ_grid is not None:
             from mvip_tpu.ops.occupancy import make_pruner
 
-            # fused renders append a phantom sample; the MLP train/render
-            # kernels additionally hit a 13.7-22x Mosaic cliff at ladder
-            # lengths that aren't multiples of 8 (BASELINE.md), so they round
-            # K up to quantum=8. The hash kernels measured NO cliff at
-            # K+1=33/49 (config-5 ran a clean 2.0x at keep=0.5 misaligned),
-            # so fewer samples wins there: quantum=1. The XLA chunked path
-            # handles any K.
+            # fused renders append a phantom sample; the quantum is
+            # per-backbone (see ops/occupancy.pruner_quantum: MLP kernels
+            # cliff at non-multiple-of-8 ladders, hash kernels don't). The
+            # XLA chunked path handles any K.
             if fused_mlp_cfg is not None:
-                q = 8 if _is_mlp_cfg(fused_mlp_cfg) else 1
+                from mvip_tpu.ops.occupancy import pruner_quantum
+
+                q = pruner_quantum(fused_mlp_cfg)
                 pruner = make_pruner(occ_grid, occ_cfg, append=1, quantum=q)
             else:
                 pruner = make_pruner(occ_grid, occ_cfg)
@@ -274,10 +267,8 @@ def make_mvip_train_step(
                         if g:
                             from mvip_tpu.ops.occupancy import make_pruner
 
-                            pr = make_pruner(
-                                g[0], occ_cfg, append=1,
-                                quantum=8 if _is_mlp_cfg(fused_mlp_cfg) else 1,
-                            )
+                            pr = make_pruner(g[0], occ_cfg, append=1,
+                                             quantum=q)
                         out = _hier(p, k, o, d, pr)
                         return {kk2: out[kk2] for kk2 in keep}
 

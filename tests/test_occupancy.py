@@ -351,3 +351,18 @@ def test_fused_hash_hier_pruned_matches_xla_renderer():
             np.asarray(out[k]), np.asarray(ref[k]), atol=2e-4,
             err_msg=f"fused hash pruned map {k} diverged from XLA",
         )
+
+
+def test_pruner_quantum_per_backbone():
+    """The ladder-alignment quantum is backbone-specific: the fused PE-MLP
+    kernels hit the Mosaic multiple-of-8 cliff (quantum=8); the hash-grid
+    kernels measured no cliff, so fewer samples wins (quantum=1). One
+    decision point serves mvip_step's guidance renders and fused_step's
+    plain fits (BASELINE.md, r2 fourth session)."""
+    from mvip_tpu.models.nerf_hashgrid import HashGridConfig
+    from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
+    from mvip_tpu.ops.occupancy import pruner_quantum
+
+    assert pruner_quantum(NeRFMLPConfig()) == 8
+    assert pruner_quantum(HashGridConfig()) == 1
+    assert pruner_quantum(None) == 1
