@@ -98,16 +98,42 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     diff = mu1 - mu2
 
     prod = sigma1 @ sigma2
-    # symmetrize-and-eig sqrt: stable for PSD products
-    evals, evecs = np.linalg.eig(prod)
+    # eig sqrt with negative/complex eigenvalue clamping: stable for PSD
+    # products. No eps inside the sqrt — sqrt(0+eps) across D dims would bias
+    # the trace by 2*D*sqrt(eps) (~4 at D=2048), dwarfing small-sample FIDs;
+    # eps only floors eigenvalues that are negative beyond clamping noise.
+    evals = np.linalg.eigvals(prod)
     evals = np.maximum(evals.real, 0.0)
-    covmean_trace = float(np.sum(np.sqrt(evals + eps)))
+    covmean_trace = float(np.sum(np.sqrt(evals)))
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * covmean_trace)
 
 
 def _inception_features(images: np.ndarray):
-    """[N, H, W, 3] in [0,1] -> pooled InceptionV3 features; None when the
-    pretrained extractor is unavailable (zero-egress)."""
+    """[N, H, W, 3] in [0,1] -> pooled InceptionV3 features; None when no
+    pretrained extractor is available (zero-egress).
+
+    Preferred path: the native JAX extractor (`eval/inception_jax.py`) with a
+    local torch state dict named by `MVIP_INCEPTION_WEIGHTS` (torchvision
+    `inception_v3` or pytorch-fid `pt_inception` checkpoints both import).
+    Fallback: torchvision, when that package exists."""
+    import os
+
+    wpath = os.environ.get("MVIP_INCEPTION_WEIGHTS", "")
+    if wpath and os.path.exists(wpath):
+        from mvip_tpu.eval import inception_jax as inc
+
+        cached = _inception_features._cache.get("jax")
+        if cached is None or cached[0] != wpath:
+            cfg = inc.InceptionConfig(
+                fid_pools="pt_inception" in os.path.basename(wpath).lower()
+                or os.environ.get("MVIP_INCEPTION_FID_POOLS", "1") == "1",
+                transform_input=os.environ.get(
+                    "MVIP_INCEPTION_TRANSFORM_INPUT", "0") == "1",
+            )
+            params, cfg = inc.load_inception_weights(wpath, cfg)
+            cached = (wpath, params, cfg)
+            _inception_features._cache["jax"] = cached
+        return inc.inception_features(cached[1], cached[2], images)
     try:
         import torch
 

@@ -533,3 +533,237 @@ def test_lpips_matches_torch_replica(rng):
     # identity property: d(x, x) == 0
     zero = np.asarray(lpips(params, cfg, jnp.asarray(a), jnp.asarray(a)))
     np.testing.assert_allclose(zero, 0.0, atol=1e-7)
+
+
+# --- InceptionV3 (FID feature extractor) -------------------------------------
+# Hand-built replica of torchvision's published inception.py wiring (BasicConv2d
+# = bias-free conv + BN(eps=1e-3) + relu; blocks A/B/C/D/E below), with the
+# pytorch-fid pool variants (count_include_pad=False; Mixed_7c pool branch is a
+# MAX pool) behind a flag — the two weight sources eval/inception_jax.py
+# imports. Neither torchvision nor pytorch-fid is installed here.
+
+
+class TBC(nn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def _tpool(x, fid):
+    return F.avg_pool2d(x, 3, 1, 1, count_include_pad=not fid)
+
+
+class TIncA(nn.Module):
+    def __init__(self, cin, pf, fid):
+        super().__init__()
+        self.fid = fid
+        self.branch1x1 = TBC(cin, 64, kernel_size=1)
+        self.branch5x5_1 = TBC(cin, 48, kernel_size=1)
+        self.branch5x5_2 = TBC(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = TBC(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBC(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBC(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = TBC(cin, pf, kernel_size=1)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch5x5_2(self.branch5x5_1(x)),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            self.branch_pool(_tpool(x, self.fid)),
+        ], 1)
+
+
+class TIncB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = TBC(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = TBC(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBC(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBC(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            F.max_pool2d(x, 3, 2),
+        ], 1)
+
+
+class TIncC(nn.Module):
+    def __init__(self, cin, c7, fid):
+        super().__init__()
+        self.fid = fid
+        self.branch1x1 = TBC(cin, 192, kernel_size=1)
+        self.branch7x7_1 = TBC(cin, c7, kernel_size=1)
+        self.branch7x7_2 = TBC(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = TBC(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = TBC(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = TBC(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = TBC(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = TBC(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = TBC(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = TBC(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_1(x)
+        for m in (self.branch7x7dbl_2, self.branch7x7dbl_3,
+                  self.branch7x7dbl_4, self.branch7x7dbl_5):
+            bd = m(bd)
+        return torch.cat([
+            self.branch1x1(x), b7, bd,
+            self.branch_pool(_tpool(x, self.fid)),
+        ], 1)
+
+
+class TIncD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = TBC(cin, 192, kernel_size=1)
+        self.branch3x3_2 = TBC(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = TBC(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = TBC(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = TBC(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = TBC(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b7 = self.branch7x7x3_1(x)
+        for m in (self.branch7x7x3_2, self.branch7x7x3_3, self.branch7x7x3_4):
+            b7 = m(b7)
+        return torch.cat([
+            self.branch3x3_2(self.branch3x3_1(x)), b7,
+            F.max_pool2d(x, 3, 2),
+        ], 1)
+
+
+class TIncE(nn.Module):
+    def __init__(self, cin, fid, is_7c):
+        super().__init__()
+        self.fid, self.is_7c = fid, is_7c
+        self.branch1x1 = TBC(cin, 320, kernel_size=1)
+        self.branch3x3_1 = TBC(cin, 384, kernel_size=1)
+        self.branch3x3_2a = TBC(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = TBC(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = TBC(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = TBC(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = TBC(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = TBC(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = TBC(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.fid and self.is_7c:  # FIDInceptionE_2: max pool in the branch
+            bp = F.max_pool2d(x, 3, 1, 1)
+        else:
+            bp = _tpool(x, self.fid)
+        return torch.cat([
+            self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+
+class TInception(nn.Module):
+    def __init__(self, fid):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBC(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = TBC(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = TBC(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = TBC(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = TBC(80, 192, kernel_size=3)
+        self.Mixed_5b = TIncA(192, 32, fid)
+        self.Mixed_5c = TIncA(256, 64, fid)
+        self.Mixed_5d = TIncA(288, 64, fid)
+        self.Mixed_6a = TIncB(288)
+        self.Mixed_6b = TIncC(768, 128, fid)
+        self.Mixed_6c = TIncC(768, 160, fid)
+        self.Mixed_6d = TIncC(768, 160, fid)
+        self.Mixed_6e = TIncC(768, 192, fid)
+        self.Mixed_7a = TIncD(768)
+        self.Mixed_7b = TIncE(1280, fid, is_7c=False)
+        self.Mixed_7c = TIncE(2048, fid, is_7c=True)
+
+    def forward(self, x):
+        h = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        h = F.max_pool2d(h, 3, 2)
+        h = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(h))
+        h = F.max_pool2d(h, 3, 2)
+        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                     "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                     "Mixed_7a", "Mixed_7b", "Mixed_7c"):
+            h = getattr(self, name)(h)
+        return F.adaptive_avg_pool2d(h, 1).flatten(1)
+
+
+def _randomize_inception(tm: nn.Module):
+    """He-init convs (scale-preserving through ~94 relu layers) + mild random
+    BN params/stats, so deep-activation magnitudes stay O(1) and a wiring
+    mismatch can't hide in vanished features."""
+    g = torch.Generator().manual_seed(7)
+    for m in tm.modules():
+        if isinstance(m, nn.Conv2d):
+            fan_in = m.in_channels * m.kernel_size[0] * m.kernel_size[1]
+            m.weight.data = torch.randn(m.weight.shape, generator=g) * math.sqrt(
+                2.0 / fan_in
+            )
+        elif isinstance(m, nn.BatchNorm2d):
+            m.weight.data.uniform_(0.9, 1.1, generator=g)
+            m.bias.data.normal_(0.0, 0.05, generator=g)
+            m.running_mean.normal_(0.0, 0.1, generator=g)
+            m.running_var.uniform_(0.9, 1.1, generator=g)
+
+
+@pytest.mark.parametrize("fid_pools", [False, True])
+def test_inception_matches_torch_replica(rng, fid_pools):
+    from mvip_tpu.eval.inception_jax import (
+        InceptionConfig,
+        import_inception_state,
+        inception_pooled,
+        init_inception,
+    )
+
+    tm = TInception(fid_pools).eval()
+    _randomize_inception(tm)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()
+          if "num_batches_tracked" not in k}
+
+    params = jax.tree.map(np.asarray, init_inception(jax.random.PRNGKey(0)))
+    import_inception_state(params, sd)
+    cfg = InceptionConfig(fid_pools=fid_pools, transform_input=False)
+
+    x = rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32)
+    ours = np.asarray(inception_pooled(params, cfg, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    assert ours.shape == theirs.shape == (1, 2048)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_fid_gated_on_local_weights(rng, tmp_path, monkeypatch):
+    """The reference's FID metric (`DS_NeRF/evaluation.py:54`) end to end
+    through the env-gated native path: save a torch state dict, point
+    MVIP_INCEPTION_WEIGHTS at it, and fid() must return a finite float
+    (and ~0 for identical image sets)."""
+    from mvip_tpu.eval import metrics
+
+    tm = TInception(True).eval()
+    _randomize_inception(tm)
+    p = tmp_path / "pt_inception-test.pth"
+    torch.save(tm.state_dict(), p)
+    monkeypatch.setenv("MVIP_INCEPTION_WEIGHTS", str(p))
+    metrics._inception_features._cache.clear()
+
+    pred = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+    gt = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+    d = metrics.fid(pred, gt)
+    # 3 samples in 2048-d makes the covariances rank-2; the clamped-eig
+    # sqrt can go slightly negative in that degenerate regime
+    assert d is not None and np.isfinite(d) and d > -1e-2
+    same = metrics.fid(pred, pred.copy())
+    assert same is not None and abs(same) < 1e-3

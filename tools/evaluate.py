@@ -5,9 +5,12 @@ Capability parity with `DS_NeRF/evaluation.py:48-132` (PSNR, LPIPS, FID per
 scene; depth L1/L2; results appended to eval.txt), minus its hardcoded cluster
 paths: scenes are passed on the command line as pred/gt directory pairs.
 
-Metric backends in this zero-egress image: PSNR/SSIM run natively (JAX/numpy);
-LPIPS and FID require pretrained feature extractors (VGG / InceptionV3) and are
-reported when the optional packages + weights are present, else logged as n/a —
+Metric backends in this zero-egress image: PSNR/SSIM run natively (JAX/numpy).
+LPIPS and FID have NATIVE JAX extractors (eval/lpips_jax.py VGG16,
+eval/inception_jax.py InceptionV3 — both torch-replica golden-tested) that
+need only a local weights file: `--lpips_weights`/`MVIP_LPIPS_WEIGHTS` and
+`MVIP_INCEPTION_WEIGHTS` (torchvision or pytorch-fid `pt_inception` state
+dicts import unchanged). Without weights they are logged as n/a —
 `mvip_tpu.eval.metrics.lpips_torch` / `fid` gate themselves.
 
 Usage:
