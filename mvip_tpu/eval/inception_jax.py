@@ -297,7 +297,11 @@ def inception_features(params, cfg: InceptionConfig, images01: np.ndarray,
     """[N, H, W, 3] float in [0, 1] -> pooled features [N, 2048].
 
     pytorch-fid's preprocessing: bilinear resize to 299 then scale to [-1, 1]."""
-    fn = jax.jit(lambda z: inception_pooled(params, cfg, z))
+    key = (id(params), cfg)
+    fn = inception_features._jit.get(key)
+    if fn is None:  # one compile per loaded weights (pred + gt calls share it)
+        fn = jax.jit(lambda z: inception_pooled(params, cfg, z))
+        inception_features._jit = {key: fn}
     out: List[np.ndarray] = []
     for i in range(0, len(images01), batch):
         chunk = jnp.asarray(images01[i : i + batch], jnp.float32)
@@ -349,3 +353,6 @@ def load_inception_weights(path: str, cfg: InceptionConfig = InceptionConfig()):
     sd = {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     params = jax.tree.map(np.asarray, init_inception(jax.random.PRNGKey(0)))
     return import_inception_state(params, sd), cfg
+
+
+inception_features._jit = {}
