@@ -435,12 +435,23 @@ def main():
     # BASELINE_MEASURED.json). Backbone-specific rates follow, including the
     # shipped default hashgrid_fused.
     best = max(mlp_rate, fused_rate)
+
+    # derived MFU for the headline path: analytic model flops per ray
+    # (coarse+fine fwd+bwd, utils/profiling.py) vs the chip's bf16 MXU peak
+    from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
+    from mvip_tpu.utils.profiling import chip_peak_flops, train_flops_per_ray
+
+    fl_ray = train_flops_per_ray("mlp", NeRFMLPConfig(), N_SAMPLES, N_IMPORTANCE)
+    peak = chip_peak_flops()
+    mfu = round(best * fl_ray / peak, 4) if (fl_ray and peak) else None
     result = {
         "metric": "train_rays_per_sec (1024 rays, 64+64 samples, coarse+fine, full step)",
         "value": round(best, 1),
         "headline_path": "mlp_fused" if fused_rate >= mlp_rate else "mlp_xla",
         "unit": "rays/s",
         "vs_baseline": round(best / baseline, 2) if baseline else None,
+        "mfu": mfu,
+        "model_tflops_per_sec": round(best * fl_ray / 1e12, 2) if fl_ray else None,
         "mlp_xla_step_rays_per_sec": round(mlp_rate, 1),
         "mlp_fused_step_rays_per_sec": round(fused_rate, 1),
         "mlp_fused_occ_rays_per_sec": round(mlp_fused_occ_rate, 1),

@@ -161,6 +161,10 @@ class Config:
                                              # whole dispatches; logs/artifacts are
                                              # labeled with the last completed step
     max_masked_pixels: int = 0               # 0 = auto (max over train views, padded)
+    ckpt_keep: int = 5                       # orbax max_to_keep; raise for
+                                             # checkpoint-chained cross-session
+                                             # runs so rotation can't delete a
+                                             # committed resume base (ADVICE r2)
     # Occupancy-grid sample pruning (ops/occupancy.py) — opt-in instant-NGP
     # style accelerator with NO reference counterpart: each render stage keeps
     # occ_keep of its samples, chosen by an EMA density grid. Supported

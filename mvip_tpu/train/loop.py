@@ -437,7 +437,8 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
     optimizer = make_optimizer(cfg.lrate, cfg.lrate_decay)
     state = create_train_state(exp.init_params, optimizer)
 
-    ckpt = CheckpointManager(os.path.join(expdir, "ckpt"))
+    ckpt = CheckpointManager(os.path.join(expdir, "ckpt"),
+                             max_to_keep=cfg.ckpt_keep)
     if cfg.ft_path:
         from mvip_tpu.train.checkpoint import restore_from_path
 
@@ -689,7 +690,17 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 )
             n_iters = rounded
         timer = StepTimer(cfg.N_rand * step_stride)
-        last_rate = None  # most recent completed 50-step window rate
+        last_rate = None  # most recent completed (synced) window rate
+        # derived MFU stream (model flops per N_rand ray vs chip peak); for
+        # guidance-on steps the extra guidance renders aren't counted, so
+        # mfu reads as a LOWER bound there — see utils/profiling.py
+        from mvip_tpu.utils.profiling import chip_peak_flops, train_flops_per_ray
+
+        _peak = chip_peak_flops()
+        _fl_ray = train_flops_per_ray(
+            exp.backbone, exp.model_cfg, cfg.N_samples, cfg.N_importance,
+            sample_keep=(occ_cfg.keep if occ_cfg is not None else 1.0),
+        )
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
         metrics = None
@@ -769,7 +780,9 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         )
                         vals = np.asarray(jnp.stack([metrics[k] for k in keys_m]))
                         m = dict(zip(keys_m, vals))
-                        rate = timer.tick() or last_rate
+                        # the np.asarray above fetched device VALUES, so the
+                        # window's work is proven complete -> synced close
+                        rate = timer.tick(synced=True) or last_rate
                         last_rate = rate or last_rate
                         extra = "".join(
                             f" {k.replace('sds_', 'sds:')}={m[k]:.4f}"
@@ -788,12 +801,18 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         rec = {"step": lab, **{k: float(v) for k, v in m.items()}}
                         if rate:
                             rec["rays_per_sec"] = rate
+                            if _fl_ray:
+                                rec["model_tflops_per_sec"] = rate * _fl_ray / 1e12
+                                if _peak:
+                                    rec["mfu"] = rate * _fl_ray / _peak
                         metrics_log.write(_json.dumps(rec) + "\n")
                         metrics_log.flush()
                     else:
-                        # keep completed window rates even when they land
-                        # between print steps (else they'd be discarded)
-                        last_rate = timer.tick() or last_rate
+                        # no device sync happened this step — an unsynced tick
+                        # only counts the step; the window closes at the next
+                        # print-step value fetch (the r2-judged 420x-overstated
+                        # rays/s rows came from closing windows here)
+                        timer.tick(synced=False)
                     if i > start and i % cfg.i_weights < step_stride:
                         ckpt.save(jax.device_get(state))
                         log_fn(f"saved checkpoint at step {int(state.step)}")
