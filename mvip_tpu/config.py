@@ -288,11 +288,18 @@ def load_config(argv: Optional[List[str]] = None) -> Config:
             # reference-style bare flags: `--render_only` == `--render_only true`
             parser.add_argument(f"--{f.name}", type=str, nargs="?", const="true",
                                 default=None)
+            # negation alias (`--no_occ_grid`): the escape hatch back to
+            # reference-exact semantics now that TPU-first accelerators ship
+            # ON in the canonical configs. An explicit `--<flag>` wins.
+            parser.add_argument(f"--no_{f.name}", dest=f"no__{f.name}",
+                                action="store_const", const="false", default=None)
         else:
             parser.add_argument(f"--{f.name}", type=str, default=None)
     ns = parser.parse_args(argv)
     for f in dataclasses.fields(Config):
         raw = getattr(ns, f.name)
+        if raw is None and hints[f.name] is bool:
+            raw = getattr(ns, f"no__{f.name}", None)
         if raw is not None and f.name != "config":
             values[f.name] = _coerce(f.name, raw, hints[f.name])
     return Config(**values)

@@ -157,6 +157,29 @@ def test_reference_config_file_parses():
     assert vals["second_stage"] is True and vals["lindisp"] is True
 
 
+def test_shipped_scene1_configs_default_tpu_first():
+    """The canonical scene-1 configs ship the TPU-first accelerators ON
+    (interval occupancy + megastep — quality-neutral, BASELINE.md), and the
+    `--no_<flag>` CLI negation restores reference-exact semantics."""
+    import os
+
+    from mvip_tpu.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for name in ("spinnerf_scene1_plain", "spinnerf_scene1",
+                 "spinnerf_scene1_full", "spinnerf_scene1_rgb_sds"):
+        path = os.path.join(root, name + ".txt")
+        cfg = load_config(["--config", path])
+        assert cfg.occ_grid is True, name
+        assert cfg.occ_mode == "interval" and cfg.megastep > 1, name
+        # the reference-exact escape hatch
+        off = load_config(["--config", path, "--no_occ_grid", "--megastep", "1"])
+        assert off.occ_grid is False and off.megastep == 1, name
+    # an explicit positive flag beats the negation
+    both = load_config(["--no_occ_grid", "--occ_grid"])
+    assert both.occ_grid is True
+
+
 def test_images_text_roundtrip_with_zero_point_image(tmp_path):
     """An image with NO keypoints writes a blank points line; the parser must
     keep header/points pairing (regression: blank lines were filtered out)."""
