@@ -20,6 +20,33 @@ from mvip_tpu.render.renderer import RenderOptions, render_image
 from mvip_tpu.utils.imaging import save_image
 
 
+def save_frame_tree(savedir: str, idx: int, frame: Dict[str, np.ndarray],
+                    pose: np.ndarray, gt: Optional[np.ndarray] = None) -> None:
+    """Write one frame into the reference's render-tree directory contract
+    (`DS_NeRF/run.py:1286-1350`): `rgb/{i:06d}.png`, `depth|disp|weight|z
+    [|alpha]/{i:06d}.npy`, `pose/{i:06d}.txt` (4x4), `images/{i:06d}.png` for
+    GT when given — plus our acc npy and a normalized disp png preview."""
+    rgb = np.nan_to_num(frame["rgb"])
+    save_image(os.path.join(savedir, "rgb", f"{idx:06d}.png"), rgb)
+    if gt is not None:
+        save_image(os.path.join(savedir, "images", f"{idx:06d}.png"),
+                   np.nan_to_num(np.asarray(gt)))
+    d = frame["disp"]
+    save_image(os.path.join(savedir, "disp", f"{idx:06d}.png"),
+               d / max(float(np.nanmax(d)), 1e-8))
+    npy = {"depth": "depth", "disp": "disp", "acc": "acc",
+           "weights": "weight", "z_vals": "z", "alpha": "alpha"}
+    for key, sub in npy.items():
+        if key in frame:
+            os.makedirs(os.path.join(savedir, sub), exist_ok=True)
+            np.save(os.path.join(savedir, sub, f"{idx:06d}.npy"), frame[key])
+    os.makedirs(os.path.join(savedir, "pose"), exist_ok=True)
+    pose4 = np.concatenate(
+        [np.asarray(pose)[:3, :4], np.array([[0.0, 0.0, 0.0, 1.0]])], 0
+    )
+    np.savetxt(os.path.join(savedir, "pose", f"{idx:06d}.txt"), pose4)
+
+
 def render_pose_list(
     poses,
     H: int,
@@ -34,15 +61,22 @@ def render_pose_list(
     chunk: int = 32768,
     savedir: Optional[str] = None,
     key=None,
+    dump_raw: bool = False,
+    gt_imgs=None,
 ) -> Dict[str, np.ndarray]:
-    """Render each pose; returns stacked maps {rgb, disp, acc, depth} as numpy."""
+    """Render each pose; returns stacked maps {rgb, disp, acc, depth} as numpy.
+    `dump_raw` extends the savedir tree with the reference's per-sample
+    weight/z/alpha npy dumps (`run.py:1329-1343`)."""
     if render_factor and render_factor > 1:
         H, W, focal = H // render_factor, W // render_factor, focal / render_factor
 
+    keep = ("rgb", "disp", "acc", "depth")
+    if dump_raw:
+        keep += ("weights", "z_vals", "alpha")
     render = jax.jit(
         lambda c2w: render_image(
             key, H, W, focal, c2w, near, far, coarse_fn, fine_fn, opts, chunk,
-            keep=("rgb", "disp", "acc", "depth"),
+            keep=keep,
         )
     )
 
@@ -53,17 +87,8 @@ def render_pose_list(
         for k in outs:
             outs[k].append(frame[k])
         if savedir:
-            save_image(os.path.join(savedir, "rgb", f"{i:03d}.png"), frame["rgb"])
-            d = frame["disp"]
-            save_image(
-                os.path.join(savedir, "disp", f"{i:03d}.png"),
-                d / max(float(np.nanmax(d)), 1e-8),
-            )
-            for name in ("depth", "disp", "acc"):
-                os.makedirs(os.path.join(savedir, name), exist_ok=True)
-                np.save(os.path.join(savedir, name, f"{i:03d}.npy"), frame[name])
-            os.makedirs(os.path.join(savedir, "pose"), exist_ok=True)
-            np.save(os.path.join(savedir, "pose", f"{i:03d}.npy"), pose)
+            gt = gt_imgs[i] if gt_imgs is not None else None
+            save_frame_tree(savedir, i, frame, pose, gt)
     return {k: np.stack(v) for k, v in outs.items()}
 
 

@@ -54,6 +54,18 @@ def render_weights(sigma: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
     return alpha * trans, alpha
 
 
+def alpha_from_weights(weights: jnp.ndarray) -> jnp.ndarray:
+    """Recover per-sample alpha from compositing weights [..., S].
+
+    weights_i = alpha_i * T_i with T_i the exclusive transmittance, and
+    T_{i+1} = T_i (1 - alpha_i) => T_i = 1 - sum_{j<i} w_j. Used by the eval
+    render-tree dump (`DS_NeRF/run.py:1338-1343` saves `extras['alpha']`) for
+    the fused Pallas render paths, whose kernels output weights only; exact up
+    to the reference's +1e-10 cumprod epsilon."""
+    t_excl = 1.0 - jnp.cumsum(weights, -1) + weights
+    return weights / jnp.maximum(t_excl, 1e-10)
+
+
 def composite(
     raw: jnp.ndarray,
     z_vals: jnp.ndarray,

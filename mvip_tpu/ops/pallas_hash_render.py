@@ -313,6 +313,7 @@ def hash_train_hier_render(
     block_rays: int = 16,
     interpret: bool = False,
     pruner=None,
+    return_extras: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Hash-grid twin of `fused_train_hier_render`: stochastic coarse ->
     importance -> fine render on the fused kernels, differentiable w.r.t. the
@@ -380,6 +381,22 @@ def hash_train_hier_render(
         merge_z_vals(z_r, jax.lax.stop_gradient(z_fine)),
         k_noise1, need_array=False,
     )
+    if return_extras:
+        # Eval-only full-output path (render-tree dump, `run.py:1329-1343`):
+        # call the fused kernels directly — no custom_vjp wrapper, so the
+        # kernel's per-sample `weights` output survives, plus the merged
+        # ladder. Not differentiable; eval renders never are.
+        x01f, encf, shf, _, _ = _encode_inputs(
+            params_fine, hcfg, rays_o, rays_d, z_all, interpret
+        )
+        netsf = {"sigma_net": params_fine["sigma_net"],
+                 "color_net": params_fine["color_net"]}
+        nz = noise1 if noise1 is not None else jnp.zeros_like(z_all)
+        out = dict(_render_fwd_call(netsf, rays_d, z_all, nz, shf, encf,
+                                    hcfg.geo_feat_dim, hcfg.sh_dim,
+                                    white_bkgd, block_rays, interpret))
+        out["z_vals"] = z_all
+        return out
     return hash_train_render(params_fine, hcfg, rays_o, rays_d, z_all,
                              white_bkgd=white_bkgd, block_rays=block_rays,
                              interpret=interpret, noise=noise1)
@@ -402,16 +419,21 @@ def hash_render_image(
     chunk: int = 8192,
     block_rays: int = 16,
     interpret: bool = False,
+    extras: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full-image deterministic render on the fused hash-grid pipeline — the
     hash-grid twin of `pallas_render.fused_render_image`, serving the eval /
     testset / video paths (reference hot loop `run.py:1222-1362`) from the
-    transposed encode + render megakernels instead of the XLA apply."""
+    transposed encode + render megakernels instead of the XLA apply.
+    `extras` adds the per-sample weights/z_vals/alpha maps (render-tree dump
+    contract, `run.py:1329-1343`)."""
     from mvip_tpu.ops.rays import rays_for_pose
 
     ro, rd = rays_for_pose(H, W, focal, c2w)
     ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
     outs = {"rgb": [], "disp": [], "acc": [], "depth": []}
+    if extras:
+        outs.update(weights=[], z_vals=[], alpha=[])
     n = ro.shape[0]
     for i in range(0, n, chunk):
         ret = hash_train_hier_render(
@@ -419,7 +441,12 @@ def hash_render_image(
             rd[i : i + chunk], near, far, n_samples, n_importance,
             perturb=0.0, raw_noise_std=0.0, lindisp=lindisp,
             white_bkgd=white_bkgd, block_rays=block_rays, interpret=interpret,
+            return_extras=extras,
         )
+        if extras:
+            from mvip_tpu.ops.compositing import alpha_from_weights
+
+            ret["alpha"] = alpha_from_weights(ret["weights"])
         for k in outs:
             outs[k].append(ret[k])
     return {k: jnp.concatenate(v).reshape(H, W, *v[0].shape[1:])

@@ -232,6 +232,7 @@ def fused_hierarchical_render(
                               white_bkgd=white_bkgd, block_rays=block_rays,
                               interpret=interpret)
     if n_importance <= 0:
+        coarse["z_vals"] = z
         return coarse
     z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
     z_fine = sample_pdf_pallas(z_mid, coarse["weights"][:, 1:-1], n_importance,
@@ -240,7 +241,8 @@ def fused_hierarchical_render(
     out = fused_render_mlp(params_fine, cfg, rays_o, rays_d, z_all,
                            white_bkgd=white_bkgd, block_rays=block_rays,
                            interpret=interpret)
-    out.update(rgb0=coarse["rgb"], disp0=coarse["disp"], acc0=coarse["acc"])
+    out.update(rgb0=coarse["rgb"], disp0=coarse["disp"], acc0=coarse["acc"],
+               z_vals=z_all)
     return out
 
 
@@ -260,14 +262,19 @@ def fused_render_image(
     white_bkgd: bool = False,
     chunk: int = 8192,
     block_rays: int = 32,
+    extras: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Full-image deterministic render on the fused pipeline (eval fast path:
-    1.9x the XLA hierarchical renderer on one v5e for 8192x(64+64))."""
+    1.9x the XLA hierarchical renderer on one v5e for 8192x(64+64)).
+    `extras` adds the per-sample weights/z_vals/alpha maps for the render-tree
+    dump (`run.py:1329-1343` directory contract)."""
     from mvip_tpu.ops.rays import rays_for_pose
 
     ro, rd = rays_for_pose(H, W, focal, c2w)
     ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
     outs = {"rgb": [], "disp": [], "acc": [], "depth": []}
+    if extras:
+        outs.update(weights=[], z_vals=[], alpha=[])
     n = ro.shape[0]
     for i in range(0, n, chunk):
         ret = fused_hierarchical_render(
@@ -275,6 +282,10 @@ def fused_render_image(
             near, far, n_samples, n_importance, lindisp=lindisp,
             white_bkgd=white_bkgd, block_rays=block_rays,
         )
+        if extras:
+            from mvip_tpu.ops.compositing import alpha_from_weights
+
+            ret["alpha"] = alpha_from_weights(ret["weights"])
         for k in outs:
             outs[k].append(ret[k])
     return {k: jnp.concatenate(v).reshape(H, W, *v[0].shape[1:])

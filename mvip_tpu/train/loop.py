@@ -329,16 +329,22 @@ def _fused_eval_available(exp) -> str:
 
 
 def _render_pose_list_dispatch(cfg, exp, state, poses, ropts, render_factor,
-                               savedir=None):
-    """Pose-list render via the fused megakernel when available, XLA otherwise."""
+                               savedir=None, dump_raw=None, gt_imgs=None):
+    """Pose-list render via the fused megakernel when available, XLA otherwise.
+
+    With a savedir, frames land in the reference render-tree contract
+    (`run.py:1286-1350`); `dump_raw` (default: on whenever saving) adds the
+    per-sample weight/z/alpha npys."""
     import jax as _jax
 
+    if dump_raw is None:
+        dump_raw = savedir is not None
     H, W, focal = exp.hwf
     if render_factor and render_factor > 1:
         H, W, focal = H // render_factor, W // render_factor, focal / render_factor
     fused_kind = _fused_eval_available(exp)
     if fused_kind:
-        from mvip_tpu.utils.imaging import save_image
+        from mvip_tpu.eval.render_path import save_frame_tree
 
         if fused_kind == "hash":
             from mvip_tpu.ops.pallas_hash_render import hash_render_image as _img
@@ -354,18 +360,14 @@ def _render_pose_list_dispatch(cfg, exp, state, poses, ropts, render_factor,
                 exp.ropts.n_samples, exp.ropts.n_importance,
                 lindisp=exp.ropts.lindisp, white_bkgd=ropts.white_bkgd,
                 chunk=min(cfg.chunk, 8192),
+                extras=bool(savedir and dump_raw),
             )
             frame = {k: np.asarray(v) for k, v in ret.items()}
             for k in outs:
                 outs[k].append(frame[k])
             if savedir:
-                import os as _os
-
-                save_image(_os.path.join(savedir, "rgb", f"{i:03d}.png"),
-                           frame["rgb"])
-                _os.makedirs(_os.path.join(savedir, "depth"), exist_ok=True)
-                np.save(_os.path.join(savedir, "depth", f"{i:03d}.npy"),
-                        frame["depth"])
+                gt = gt_imgs[i] if gt_imgs is not None else None
+                save_frame_tree(savedir, i, frame, pose, gt)
         return {k: np.stack(v) for k, v in outs.items()}
     from mvip_tpu.eval.render_path import render_pose_list
 
@@ -374,6 +376,7 @@ def _render_pose_list_dispatch(cfg, exp, state, poses, ropts, render_factor,
         poses, *exp.hwf[:2], exp.hwf[2], exp.near, exp.far, coarse_fn, fine_fn,
         ropts, render_factor=render_factor, chunk=min(cfg.chunk, 8192),
         savedir=savedir, key=jax.random.PRNGKey(0),
+        dump_raw=bool(savedir and dump_raw), gt_imgs=gt_imgs,
     )
 
 
@@ -406,8 +409,10 @@ def _render_testset(cfg, exp, state, expdir, step, log_fn):
     ropts = dataclasses.replace(exp.ropts, perturb=0.0, raw_noise_std=0.0)
     poses = exp.test_poses
     savedir = os.path.join(expdir, f"testset_{step:06d}")
+    gt = exp.test_images if not (cfg.render_factor and cfg.render_factor > 1) \
+        else None  # GT only matches the tree at native resolution
     _render_pose_list_dispatch(cfg, exp, state, poses, ropts,
-                               cfg.render_factor, savedir=savedir)
+                               cfg.render_factor, savedir=savedir, gt_imgs=gt)
     log_fn(f"saved test set at step {step} -> {savedir}")
 
 
