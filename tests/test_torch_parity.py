@@ -26,6 +26,7 @@ from mvip_tpu.guidance.layers import (
 )
 
 
+@pytest.mark.slow  # ~40 s on the 1-core host (VERDICT r2 weak #5)
 def test_clip_text_matches_transformers():
     """Port a random-init transformers CLIPTextModel into our pytree and match
     last_hidden_state to ~1e-4."""

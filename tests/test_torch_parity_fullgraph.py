@@ -718,6 +718,7 @@ def _randomize_inception(tm: nn.Module):
             m.running_var.uniform_(0.9, 1.1, generator=g)
 
 
+@pytest.mark.slow  # ~40 s each on the 1-core host (VERDICT r2 weak #5)
 @pytest.mark.parametrize("fid_pools", [False, True])
 def test_inception_matches_torch_replica(rng, fid_pools):
     from mvip_tpu.eval.inception_jax import (
