@@ -9,6 +9,7 @@ interpret mode here, must reproduce the XLA loss and ALL parameter gradients
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvip_tpu.models.nerf_hashgrid import (
     HashGridConfig,
@@ -213,3 +214,95 @@ def test_hash_render_image_matches_direct_render():
     )
     np.testing.assert_allclose(np.asarray(img["rgb"]).reshape(-1, 3),
                                np.asarray(direct["rgb"]), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow  # two full interpret-mode fused hash guidance runs x2 steps
+def test_hash_fused_guidance_multichip():
+    """shard_map'd fused HASH guidance renders (VERDICT r2 next-round #5): on
+    the 8-device CPU mesh, the sharded-ray-axis hash megakernel path of the
+    full MVIP step (`train/mvip_step.py` shard_map branch) must reproduce the
+    single-device hash path — same loss, same updated params — under
+    deterministic rendering (perturb=0, no sigma noise), where the per-device
+    key fold-in cannot change any drawn value. This is the multi-device
+    exercise of the SHIPPED default backbone's guidance/train path; the
+    reference's equivalent is `nn.DataParallel` (`DS_NeRF/run.py:43-46`)."""
+    from jax.sharding import Mesh
+
+    from mvip_tpu.data.rays import build_ray_streams
+    from mvip_tpu.guidance.sds import SDSConfig, make_guidance_models
+    from mvip_tpu.guidance.unet import init_unet, tiny_unet_config
+    from mvip_tpu.guidance.vae import init_vae, tiny_vae_config
+    from mvip_tpu.render.renderer import RenderOptions
+    from mvip_tpu.train.mvip_step import MVIPConfig, make_mvip_train_step
+    from mvip_tpu.train.state import create_train_state, make_optimizer
+    from mvip_tpu.train.step import DeviceStreams, StepConfig
+    from tests.test_mvip_step import _tiny_scene
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+
+    key = jax.random.PRNGKey(0)
+    images, masks, depths, poses, focal = _tiny_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+
+    params = {
+        "coarse": init_hashgrid_nerf(jax.random.PRNGKey(1), HCFG),
+        "fine": init_hashgrid_nerf(jax.random.PRNGKey(2), HCFG),
+    }
+    apply_fn = lambda p, pts, vd: apply_hashgrid_nerf(p, HCFG, pts, vd)
+
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg),
+                              ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+
+    # deterministic rendering: per-device key fold-in is a no-op
+    ropts = RenderOptions(n_samples=8, n_importance=8, perturb=0.0,
+                          raw_noise_std=0.0)
+    scfg = StepConfig(n_rand=32, depth_loss=True, near=1.0, far=7.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(
+        sds_loss_weight=1e-4,
+        is_rgb_guidance=True,
+        is_normal_guidance=True, normal_start=0, normalmap_render_factor=2,
+        normal_k=5,
+        is_colla_guidance=True, colla_n_views=3, colla_render_factor=2,
+        render_chunk=64,
+    )
+    optimizer = make_optimizer(5e-3, 250)
+
+    def run(use_mesh):
+        step = make_mvip_train_step(
+            scfg, ropts, apply_fn, apply_fn, optimizer, mcfg, gm,
+            scfg_sds, scfg_sds, scfg_sds, te, te,
+            fused_mlp_cfg=HCFG, mesh=mesh if use_mesh else None,
+            interpret=True,
+        )
+        state = create_train_state(jax.tree.map(jnp.copy, params), optimizer)
+        with mesh:
+            for i in range(2):
+                state, metrics = step(
+                    state, streams, jax.random.fold_in(key, i),
+                    jnp.asarray(i + 1),
+                )
+        return state, metrics
+
+    s1, m1 = run(False)
+    s8, m8 = run(True)
+    assert np.isfinite(float(m8["loss"]))
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m8["sds_rgb"]), float(m1["sds_rgb"]),
+                               rtol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+        ),
+        s8.params, s1.params,
+    )
