@@ -149,6 +149,9 @@ class Config:
                                              # (19 tcnn-parity; 15 for hashgrid_fused — the
                                              # fused-MXU encode needs <= 16)
     hashgrid_fused_dtype: str = "float32"    # fused encode matmul dtype (bfloat16 = tcnn-fp16-like)
+    hashgrid_encode: str = "auto"            # fused encode algorithm: auto | gen2 | sorted
+                                             # (sorted = T-independent sorted-slab gather,
+                                             # engages at log2 >= 17 under auto)
     mesh_shape: Optional[List[int]] = None   # data-parallel mesh; None = all devices
     param_dtype: str = "float32"
     compute_dtype: str = "float32"           # bfloat16 for max MXU throughput

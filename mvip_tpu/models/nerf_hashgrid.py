@@ -55,6 +55,12 @@ class HashGridConfig:
     fused_block: int = 512
     fused_dtype: str = "float32"   # one-hot matmul operand dtype; bfloat16
                                    # rounds table reads like tcnn's fp16
+    # Encode algorithm for the fused path: "gen2" = transposed one-hot matmul
+    # (linear in T, ops/pallas_hashgrid_t.py), "sorted" = sorted-slab gather
+    # (T-independent matmuls + 3 lax.sorts, ops/pallas_hashgrid_s.py),
+    # "auto" = sorted iff log2_table_size >= MIN_SORTED_LOG2_T (the measured
+    # crossover — tools/bench_encode.py).
+    encode_mode: str = "auto"
 
     @property
     def table_size(self) -> int:
@@ -265,17 +271,29 @@ def apply_hashgrid_nerf(
     resolutions = jnp.asarray(cfg.resolutions, jnp.int32)
     use_dense = dense_levels(cfg.resolutions, cfg.table_size)
     if cfg.fused and _fused_available(cfg):
-        # transposed (points-on-lanes) kernel: 15.0ms fwd / 22.1ms fwd+bwd at
-        # the canonical 131k-pt load vs 33.6/43.0 for the first-gen layout and
-        # 251ms for XLA (tools/bench_encode.py, one v5e, T=2^15)
-        from mvip_tpu.ops.pallas_hashgrid_t import hashgrid_encode_fused_t
+        from mvip_tpu.ops.pallas_hashgrid_s import sorted_encode_active
 
-        enc = hashgrid_encode_fused_t(
-            params["table"].astype(jnp.float32), x01, resolutions,
-            use_dense.astype(jnp.int32), cfg.table_size,
-            block=max(cfg.fused_block, 1024), compute_dtype=cfg.fused_dtype,
-            res_static=cfg.resolutions,
-        )
+        if sorted_encode_active(cfg):
+            # sorted-slab (gen-3) kernel: T-independent gather cost — the
+            # tcnn-capacity (2^19) path (ops/pallas_hashgrid_s.py)
+            from mvip_tpu.ops.pallas_hashgrid_s import hashgrid_encode_sorted
+
+            enc = hashgrid_encode_sorted(
+                params["table"].astype(jnp.float32), x01, resolutions,
+                use_dense.astype(jnp.int32), cfg.table_size,
+            )
+        else:
+            # transposed (points-on-lanes) kernel: 15.0ms fwd / 22.1ms fwd+bwd
+            # at the canonical 131k-pt load vs 33.6/43.0 for the first-gen
+            # layout and 251ms for XLA (tools/bench_encode.py, one v5e, 2^15)
+            from mvip_tpu.ops.pallas_hashgrid_t import hashgrid_encode_fused_t
+
+            enc = hashgrid_encode_fused_t(
+                params["table"].astype(jnp.float32), x01, resolutions,
+                use_dense.astype(jnp.int32), cfg.table_size,
+                block=max(cfg.fused_block, 1024),
+                compute_dtype=cfg.fused_dtype, res_static=cfg.resolutions,
+            )
     else:
         enc = hashgrid_encode(
             params["table"], x01, resolutions, cfg.table_size, use_dense,

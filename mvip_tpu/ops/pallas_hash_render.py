@@ -217,6 +217,7 @@ def _render_bwd_call(nets, rd, z, noise, sh, enc, cots, geo_dim, sh_dim,
 
 def _encode_inputs(params, hcfg, rays_o, rays_d, z_vals, interpret):
     from mvip_tpu.models.nerf_hashgrid import dense_levels, sh_encoding
+    from mvip_tpu.ops.pallas_hashgrid_s import _sorted_fwd, sorted_encode_active
     from mvip_tpu.ops.pallas_hashgrid_t import _encode_fwd_t
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
@@ -225,21 +226,29 @@ def _encode_inputs(params, hcfg, rays_o, rays_d, z_vals, interpret):
     )
     res_arr = jnp.asarray(hcfg.resolutions, jnp.int32)
     dense_i = dense_levels(hcfg.resolutions, hcfg.table_size).astype(jnp.int32)
-    enc = _encode_fwd_t(params["table"].astype(jnp.float32), x01, res_arr,
-                        dense_i, table_size=hcfg.table_size,
-                        block=hcfg.fused_block, compute_dtype=hcfg.fused_dtype,
-                        interpret=interpret, res_static=hcfg.resolutions)
+    if sorted_encode_active(hcfg):
+        enc, enc_res = _sorted_fwd(params["table"].astype(jnp.float32), x01,
+                                   res_arr, dense_i,
+                                   table_size=hcfg.table_size,
+                                   interpret=interpret)
+    else:
+        enc = _encode_fwd_t(params["table"].astype(jnp.float32), x01, res_arr,
+                            dense_i, table_size=hcfg.table_size,
+                            block=hcfg.fused_block,
+                            compute_dtype=hcfg.fused_dtype,
+                            interpret=interpret, res_static=hcfg.resolutions)
+        enc_res = None
     vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     sh = sh_encoding(vd, hcfg.sh_degree)
-    return x01, enc, sh, res_arr, dense_i
+    return x01, enc, sh, res_arr, dense_i, enc_res
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 6, 7, 8, 9))
 def _hash_train_render_core(params, hcfg, rays_o, rays_d, z_vals, noise,
                             white_bkgd, block_rays, interpret,
                             fast_bwd) -> Dict[str, jnp.ndarray]:
-    x01, enc, sh, _, _ = _encode_inputs(params, hcfg, rays_o, rays_d, z_vals,
-                                        interpret)
+    x01, enc, sh, _, _, _ = _encode_inputs(params, hcfg, rays_o, rays_d,
+                                           z_vals, interpret)
     nets = {"sigma_net": params["sigma_net"], "color_net": params["color_net"]}
     out = _render_fwd_call(nets, rays_d, z_vals, noise, sh, enc,
                            hcfg.geo_feat_dim, hcfg.sh_dim, white_bkgd,
@@ -260,7 +269,7 @@ def _htr_bwd(hcfg, white_bkgd, block_rays, interpret, fast_bwd, res, cots):
     params, rays_o, rays_d, z_vals, noise = res
     # re-run the (cheap, fused) encode rather than saving [N*S, L*F] residuals
     # across the whole guidance graph
-    x01, enc, sh, res_arr, dense_i = _encode_inputs(
+    x01, enc, sh, res_arr, dense_i, enc_res = _encode_inputs(
         params, hcfg, rays_o, rays_d, z_vals, interpret
     )
     nets = {"sigma_net": params["sigma_net"], "color_net": params["color_net"]}
@@ -269,12 +278,22 @@ def _htr_bwd(hcfg, white_bkgd, block_rays, interpret, fast_bwd, res, cots):
         nets, rays_d, z_vals, noise, sh, enc, g, hcfg.geo_feat_dim,
         hcfg.sh_dim, white_bkgd, block_rays, interpret,
     )
-    d_table = _encode_bwd_table_t(
-        x01, d_enc, res_arr, dense_i, L=hcfg.n_levels, F=hcfg.n_features,
-        table_size=hcfg.table_size, block=hcfg.fused_block,
-        compute_dtype=hcfg.fused_dtype, interpret=interpret,
-        res_static=hcfg.resolutions,
-    )
+    if enc_res is not None:
+        from mvip_tpu.ops.pallas_hashgrid_s import _sorted_bwd_table
+
+        sidx, sw, rank, any_ovf = enc_res
+        d_table = _sorted_bwd_table(
+            x01, d_enc, sidx, sw, rank, any_ovf, res_arr, dense_i,
+            L=hcfg.n_levels, F=hcfg.n_features, table_size=hcfg.table_size,
+            interpret=interpret,
+        )
+    else:
+        d_table = _encode_bwd_table_t(
+            x01, d_enc, res_arr, dense_i, L=hcfg.n_levels, F=hcfg.n_features,
+            table_size=hcfg.table_size, block=hcfg.fused_block,
+            compute_dtype=hcfg.fused_dtype, interpret=interpret,
+            res_static=hcfg.resolutions,
+        )
     grads = {"table": d_table.astype(params["table"].dtype), **net_grads}
     return (grads, jnp.zeros_like(rays_o), jnp.zeros_like(rays_d),
             jnp.zeros_like(z_vals), jnp.zeros_like(noise))
@@ -360,7 +379,7 @@ def hash_train_hier_render(
         k_noise0, need_array=True,
     )
     pc = jax.lax.stop_gradient(params_coarse)
-    x01, enc, sh, _, _ = _encode_inputs(pc, hcfg, rays_o, rays_d, z, interpret)
+    x01, enc, sh, _, _, _ = _encode_inputs(pc, hcfg, rays_o, rays_d, z, interpret)
     nets = {"sigma_net": pc["sigma_net"], "color_net": pc["color_net"]}
     coarse = _render_fwd_call(nets, rays_d, z, noise0, sh, enc,
                               hcfg.geo_feat_dim, hcfg.sh_dim, white_bkgd,
@@ -386,7 +405,7 @@ def hash_train_hier_render(
         # call the fused kernels directly — no custom_vjp wrapper, so the
         # kernel's per-sample `weights` output survives, plus the merged
         # ladder. Not differentiable; eval renders never are.
-        x01f, encf, shf, _, _ = _encode_inputs(
+        x01f, encf, shf, _, _, _ = _encode_inputs(
             params_fine, hcfg, rays_o, rays_d, z_all, interpret
         )
         netsf = {"sigma_net": params_fine["sigma_net"],

@@ -431,10 +431,22 @@ def hash_fused_render_grads(
     dense_i = dense_levels(hcfg.resolutions, hcfg.table_size).astype(jnp.int32)
     table = params["table"].astype(jnp.float32)
 
-    enc = _encode_fwd_t(table, x01, res_arr, dense_i,
-                        table_size=hcfg.table_size, block=hcfg.fused_block,
-                        compute_dtype=hcfg.fused_dtype, interpret=interpret,
-                        res_static=hcfg.resolutions)
+    from mvip_tpu.ops.pallas_hashgrid_s import sorted_encode_active
+
+    use_sorted = sorted_encode_active(hcfg)
+    if use_sorted:
+        # sorted-slab (gen-3) encode: T-independent gather cost; the forward
+        # residuals (sorted queries + rank + overflow flag) feed the backward
+        from mvip_tpu.ops.pallas_hashgrid_s import _sorted_bwd_table, _sorted_fwd
+
+        enc, enc_res = _sorted_fwd(table, x01, res_arr, dense_i,
+                                   table_size=hcfg.table_size,
+                                   interpret=interpret)
+    else:
+        enc = _encode_fwd_t(table, x01, res_arr, dense_i,
+                            table_size=hcfg.table_size, block=hcfg.fused_block,
+                            compute_dtype=hcfg.fused_dtype, interpret=interpret,
+                            res_static=hcfg.resolutions)
     vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     sh = sh_encoding(vd, hcfg.sh_degree)
 
@@ -445,11 +457,19 @@ def hash_fused_render_grads(
         geo_dim=hcfg.geo_feat_dim, sh_dim=hcfg.sh_dim,
         white_bkgd=white_bkgd, block_rays=block_rays, interpret=interpret,
     )
-    d_table = _encode_bwd_table_t(
-        x01, d_enc, res_arr, dense_i, L=hcfg.n_levels, F=hcfg.n_features,
-        table_size=hcfg.table_size, block=hcfg.fused_block,
-        compute_dtype=hcfg.fused_dtype, interpret=interpret,
-        res_static=hcfg.resolutions,
-    )
+    if use_sorted:
+        sidx, sw, rank, any_ovf = enc_res
+        d_table = _sorted_bwd_table(
+            x01, d_enc, sidx, sw, rank, any_ovf, res_arr, dense_i,
+            L=hcfg.n_levels, F=hcfg.n_features, table_size=hcfg.table_size,
+            interpret=interpret,
+        )
+    else:
+        d_table = _encode_bwd_table_t(
+            x01, d_enc, res_arr, dense_i, L=hcfg.n_levels, F=hcfg.n_features,
+            table_size=hcfg.table_size, block=hcfg.fused_block,
+            compute_dtype=hcfg.fused_dtype, interpret=interpret,
+            res_static=hcfg.resolutions,
+        )
     grads = {"table": d_table.astype(params["table"].dtype), **net_grads}
     return metrics, grads

@@ -62,6 +62,19 @@ QBLK = 2048            # sorted queries per kernel block
 MIN_SORTED_LOG2_T = 17  # below this the gen-2 linear-in-T kernels are faster
 
 
+def sorted_encode_active(hcfg) -> bool:
+    """Static dispatch: does this HashGridConfig ride the sorted-slab path?
+
+    "auto" engages it only at tcnn-capacity tables (>= 2^MIN_SORTED_LOG2_T),
+    where the gen-2 linear-in-T cost dominates the sort overhead."""
+    mode = getattr(hcfg, "encode_mode", "auto")
+    if mode == "sorted":
+        return True
+    if mode == "gen2":
+        return False
+    return hcfg.log2_table_size >= MIN_SORTED_LOG2_T
+
+
 def _corner_queries(x, res_arr, dense_arr, T):
     """x [N, 3] in [0,1] -> (idx [L, 8N] i32, w [L, 8N] f32), point-major
     (query q = p*8 + c). Same math as models/nerf_hashgrid.hashgrid_encode."""

@@ -245,6 +245,7 @@ def build_models(cfg: Config, key: jax.Array):
         log2_table_size=log2,
         fused=fused and cfg.use_pallas,  # --use_pallas False = Pallas kill switch
         fused_dtype=cfg.hashgrid_fused_dtype,
+        encode_mode=cfg.hashgrid_encode,
     )
     params = {"coarse": init_hashgrid_nerf(k1, hcfg)}
     coarse_apply = partial(

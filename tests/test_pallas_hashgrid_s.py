@@ -84,3 +84,58 @@ def test_sorted_matches_gen2():
     b = hashgrid_encode_sorted(
         table, x, res_arr, dense.astype(jnp.int32), T, interpret=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_hash_fused_chain_sorted_matches_gen2():
+    """The full fused train chain (encode -> MLP/composite/loss/backward ->
+    table grad) must produce identical losses/grads under encode_mode=sorted
+    and gen2 (the wiring in ops/pallas_hash_train.hash_fused_render_grads)."""
+    import dataclasses
+
+    from mvip_tpu.ops.pallas_hash_train import hash_fused_render_grads
+    from tests.test_pallas_hash_train import HCFG, _setup as _chain_setup
+
+    args = _chain_setup()
+    params = args[0]
+    cfg_g2 = dataclasses.replace(HCFG, encode_mode="gen2")
+    cfg_s = dataclasses.replace(HCFG, encode_mode="sorted")
+    m2, g2 = hash_fused_render_grads(params, cfg_g2, *args[1:], block_rays=8,
+                                     interpret=True)
+    ms, gs = hash_fused_render_grads(params, cfg_s, *args[1:], block_rays=8,
+                                     interpret=True)
+    for k in ("sq_rgb", "sq_disp", "sq_depth"):
+        np.testing.assert_allclose(float(ms[k]), float(m2[k]), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(gs), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g2), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=str(pa))
+
+
+def test_hash_train_render_sorted_matches_gen2():
+    """Differentiable fused guidance render (ops/pallas_hash_render) under
+    both encode modes: outputs and parameter cotangents must agree."""
+    import dataclasses
+
+    from mvip_tpu.ops.pallas_hash_render import hash_train_render
+    from tests.test_pallas_hash_train import HCFG, _setup as _chain_setup
+
+    params, ro, rd, z, noise = _chain_setup()[:5]
+    cfg_g2 = dataclasses.replace(HCFG, encode_mode="gen2")
+    cfg_s = dataclasses.replace(HCFG, encode_mode="sorted")
+
+    def loss(p, cfg):
+        out = hash_train_render(p, cfg, ro, rd, z, block_rays=8,
+                                interpret=True, noise=noise)
+        return jnp.sum(out["rgb"] ** 2) + jnp.sum(out["disp"] ** 2)
+
+    l2, gr2 = jax.value_and_grad(loss)(params, cfg_g2)
+    ls, grs = jax.value_and_grad(loss)(params, cfg_s)
+    np.testing.assert_allclose(float(ls), float(l2), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(grs), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(gr2), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=str(pa))
