@@ -127,6 +127,12 @@ class Config:
     # local checkpoint dirs for guidance weights (zero-egress environment)
     sd_weights: Optional[str] = None     # dir with SD-inpainting unet/vae/text .safetensors
     clip_weights: Optional[str] = None
+    # random-init guidance stack size when no sd_weights is given:
+    # 'tiny' = unit-test-scale stack (pipeline smoke), 'real' = the full
+    # SD-1.5 inpaint architecture (859.6M UNet / 83.7M VAE, 512px) with
+    # random weights — proves the production-scale TRAINING step fits
+    # memory and sustains the predicted guidance cost without a checkpoint.
+    sd_size: str = "tiny"
 
     # --- training loop (run.py:262-306) ---
     N_iters: int = 10000

@@ -57,7 +57,12 @@ from mvip_tpu.ops.pallas_hashgrid_t import (
     table_to_lanes,
 )
 
-W_LANES = 128          # slab window width in lanes (x64 entries/lane = 8192 entries)
+W_LANES = 256          # slab window width in lanes (x64 entries/lane = 16384 entries);
+                       # a multiple of 128: the HBM table is (8,128)-tiled, so the
+                       # slab DMA's lane offset must be 128-aligned — the base is
+                       # computed in TILE space (clamped there, x128 last) so Mosaic
+                       # can prove divisibility, and the 2-tile window preserves the
+                       # ">=128 lanes beyond the block's first query" coverage
 QBLK = 2048            # sorted queries per kernel block
 MIN_SORTED_LOG2_T = 17  # below this the gen-2 linear-in-T kernels are faster
 
@@ -106,8 +111,10 @@ def _fwd_kernel_s(sidx_ref, sw_ref, tbl_ref, out_ref, ovf_ref, slab_ref,
                   sem_ref, *, F, RE, BT, W):
     l = pl.program_id(0)
     shift = RE.bit_length() - 1                        # entries per lane = RE
-    idx = sidx_ref[:]                                  # [1, QBLK] i32
-    base_lane = jnp.clip(idx[0, 0] >> shift, 0, BT - W)  # scalar
+    idx = sidx_ref[0, 0]                               # [1, QBLK] i32
+    # tile-space clamp, x128 last: provably 128-aligned lane offset
+    base_tile = jnp.clip((idx[0, 0] >> shift) // 128, 0, BT // 128 - W // 128)
+    base_lane = base_tile * 128                        # scalar
     dma = pltpu.make_async_copy(
         tbl_ref.at[l, :, pl.ds(base_lane, W)], slab_ref, sem_ref)
     dma.start()
@@ -125,14 +132,14 @@ def _fwd_kernel_s(sidx_ref, sw_ref, tbl_ref, out_ref, ovf_ref, slab_ref,
 
     sub_re = jax.lax.broadcasted_iota(jnp.int32, (RE, idx.shape[1]), 0)
     sel = (sub_re == sub).astype(jnp.float32)          # [RE, QBLK]
-    w = sw_ref[:]                                      # [1, QBLK]
+    w = sw_ref[0, 0]                                   # [1, QBLK]
     for f in range(F):
         feat = jnp.sum(rows[f * RE:(f + 1) * RE] * sel, 0, keepdims=True)
         out_ref[0, f:f + 1] = w * feat
 
     # padded queries carry w=0 AND idx=0 (they sort to block 0, in-window);
     # real out-of-window queries are the fallback trigger
-    ovf_ref[0, 0] = jnp.sum(jnp.where(inwin, 0, 1).astype(jnp.int32))
+    ovf_ref[0, 0, 0, 0] = jnp.sum(jnp.where(inwin, 0, 1).astype(jnp.int32))
 
 
 def _bwd_kernel_s(sidx_ref, sw_ref, sg_ref, tbl_g_ref, slab0_ref, *, F, RE,
@@ -140,8 +147,9 @@ def _bwd_kernel_s(sidx_ref, sw_ref, sg_ref, tbl_g_ref, slab0_ref, *, F, RE,
     del slab0_ref  # scratch kept for spec symmetry (unused)
     b = pl.program_id(1)
     shift = RE.bit_length() - 1                        # entries per lane = RE
-    idx = sidx_ref[:]                                  # [1, QBLK]
-    base_lane = jnp.clip(idx[0, 0] >> shift, 0, BT - W)
+    idx = sidx_ref[0, 0]                               # [1, QBLK]
+    base_tile = jnp.clip((idx[0, 0] >> shift) // 128, 0, BT // 128 - W // 128)
+    base_lane = base_tile * 128
 
     rel_lane = (idx >> shift) - base_lane
     sub = idx & (RE - 1)
@@ -151,7 +159,7 @@ def _bwd_kernel_s(sidx_ref, sw_ref, sg_ref, tbl_g_ref, slab0_ref, *, F, RE,
     hot = jnp.where(inwin, (lane_iota == rel_lane).astype(jnp.float32), 0.0)
 
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, Q), 0)
-    w = sw_ref[:]                                      # [1, Q]
+    w = sw_ref[0, 0]                                   # [1, Q]
     g = sg_ref[0]                                      # [F, Q]
     grow = jnp.zeros((128, Q), jnp.float32)
     for f in range(F):
@@ -195,7 +203,14 @@ def _sorted_fwd(table, x, res_arr, dense_arr, *, table_size, interpret):
 
     tblT = table_to_lanes(table)                              # [L, 128, BT]
     W = min(W_LANES, BT)
-    q_spec = pl.BlockSpec((1, QBLK), lambda l, b: (l, b), memory_space=pltpu.VMEM)
+    # queries ride as [L, NB, 1, QBLK] so the block's LAST TWO dims
+    # (1, QBLK) equal the array's — Mosaic's block-shape rule rejects a
+    # (1, QBLK) block over a 2-D (L, QP) array (second-to-last dim 1 is
+    # neither 8-divisible nor == L)
+    sidx4 = sidx.reshape(L, NB, 1, QBLK)
+    sw4 = sw.reshape(L, NB, 1, QBLK)
+    q_spec = pl.BlockSpec((1, 1, 1, QBLK), lambda l, b: (l, b, 0, 0),
+                          memory_space=pltpu.VMEM)
     featw, ovf = pl.pallas_call(
         partial(_fwd_kernel_s, F=F, RE=RE, BT=BT, W=W),
         grid=(L, NB),
@@ -203,16 +218,18 @@ def _sorted_fwd(table, x, res_arr, dense_arr, *, table_size, interpret):
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec((1, F, QBLK), lambda l, b: (l, 0, b),
                                 memory_space=pltpu.VMEM),
-                   # (1,1) SMEM block: the sanctioned home for a 0-d scalar
-                   # reduction (Mosaic rejects 0-d stores into VMEM blocks)
-                   pl.BlockSpec((1, 1), lambda l, b: (l, b),
+                   # (1,1,1,1) SMEM block: the sanctioned home for a 0-d
+                   # scalar reduction (Mosaic rejects 0-d stores into VMEM
+                   # blocks; the last-two-dims block rule also rejects a
+                   # (1,1) block over a 2-D (L, NB) array — hence 4-D)
+                   pl.BlockSpec((1, 1, 1, 1), lambda l, b: (l, b, 0, 0),
                                 memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((L, F, QP), jnp.float32),
-                   jax.ShapeDtypeStruct((L, NB), jnp.int32)),
+                   jax.ShapeDtypeStruct((L, NB, 1, 1), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((128, W), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(sidx, sw, tblT)
+    )(sidx4, sw4, tblT)
 
     # unsort (keys `perm` are a permutation -> restores original query order)
     # and produce rank = inverse permutation for the backward
@@ -258,7 +275,10 @@ def _sorted_bwd_table(x, g, sidx, sw, rank, any_ovf, res_arr, dense_arr, *,
 
     NB = QP // QBLK
     W = min(W_LANES, BT)
-    q_spec = pl.BlockSpec((1, QBLK), lambda l, b: (l, b), memory_space=pltpu.VMEM)
+    sidx4 = sidx.reshape(L, NB, 1, QBLK)
+    sw4 = sw.reshape(L, NB, 1, QBLK)
+    q_spec = pl.BlockSpec((1, 1, 1, QBLK), lambda l, b: (l, b, 0, 0),
+                          memory_space=pltpu.VMEM)
     tbl_g = pl.pallas_call(
         partial(_bwd_kernel_s, F=F, RE=RE, BT=BT, W=W),
         grid=(L, NB),
@@ -272,7 +292,7 @@ def _sorted_bwd_table(x, g, sidx, sw, rank, any_ovf, res_arr, dense_arr, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024) if BT > 2048 else None,
         interpret=interpret,
-    )(sidx, sw, sg)
+    )(sidx4, sw4, sg)
     d_table = lanes_to_table(tbl_g, T, F)
 
     d_table = jax.lax.cond(

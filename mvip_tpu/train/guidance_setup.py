@@ -63,18 +63,33 @@ def build_guidance(cfg: Config):
         cond_n = apply_clip_text(text_p, tcfg, ids_n)
         latent_size = 512
     else:
-        # tiny random-init stack: exercises the full pipeline without weights
+        # random-init stack: exercises the full pipeline without weights.
+        # sd_size='real' builds the full SD-1.5 inpaint architecture
+        # (859.6M UNet / 83.7M VAE at 512px — `sd15_inpaint_configs`) so the
+        # production-scale training step can be memory/throughput-proven
+        # even in a zero-egress image; 'tiny' keeps the unit-test stack.
         key = jax.random.PRNGKey(cfg.seed + 7)
-        ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+        if cfg.sd_size == "real":
+            from mvip_tpu.guidance.unet import UNetConfig
+            from mvip_tpu.guidance.vae import VAEConfig
+
+            ucfg, vcfg = UNetConfig(), VAEConfig()
+            T = 77  # CLIP text length at production scale
+            latent_size = 512
+        elif cfg.sd_size == "tiny":
+            ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+            T = 8
+            latent_size = 64
+        else:
+            raise ValueError(f"unknown sd_size {cfg.sd_size!r} (tiny|real)")
         gm = make_guidance_models(
             init_unet(key, ucfg), init_vae(jax.random.fold_in(key, 1), vcfg),
             ucfg, vcfg, DiffusionSchedule(),
         )
-        T, C = 8, ucfg.cross_attention_dim
+        C = ucfg.cross_attention_dim
         cond = _text_embed_from_prompt(cfg.text or "", T, C)
         uncond = _text_embed_from_prompt(cfg.negative or "", T, C)
         cond_n = _text_embed_from_prompt(cfg.text_normal or cfg.text or "", T, C)
-        latent_size = 64
 
     base = SDSConfig(latent_size=latent_size, compute_dtype=compute_dtype,
                      grad_scale=cfg.lambda_guidance)

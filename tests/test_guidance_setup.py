@@ -35,6 +35,40 @@ def test_build_guidance_tiny_smoke():
     assert mcfg.sds_loss_weight == cfg.sds_loss_weight
 
 
+def test_build_guidance_sd_size_real_selects_production_arch(monkeypatch):
+    """sd_size='real' must select the full SD-1.5 inpaint architecture and
+    512px SDS (the weights-free production-scale training probe path).
+    Init is stubbed — this test checks config plumbing, not the 860M init."""
+    import mvip_tpu.train.guidance_setup as gs
+    from mvip_tpu.guidance.unet import UNetConfig
+    from mvip_tpu.guidance.vae import VAEConfig
+
+    seen = {}
+
+    def fake_init_unet(key, ucfg, dtype=jnp.float32):
+        seen["ucfg"] = ucfg
+        return {}
+
+    def fake_init_vae(key, vcfg, dtype=jnp.float32):
+        seen["vcfg"] = vcfg
+        return {}
+
+    monkeypatch.setattr(gs, "init_unet", fake_init_unet)
+    monkeypatch.setattr(gs, "init_vae", fake_init_vae)
+    cfg = Config(is_rgb_guidance=True, sd_size="real", text="x")
+    gm, mcfg, (s_rgb, _, _), pair_rgb, _ = build_guidance(cfg)
+    assert seen["ucfg"] == UNetConfig()          # production architecture
+    assert seen["vcfg"] == VAEConfig()
+    assert s_rgb.latent_size == 512
+    assert pair_rgb.shape[1] == 77               # CLIP text length
+    assert pair_rgb.shape[2] == UNetConfig().cross_attention_dim
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_guidance(Config(is_rgb_guidance=True, sd_size="bogus"))
+
+
 def test_orchestrator_config_from_config():
     cfg = Config(is_rgb_guidance=True, rgb_guidance_scale=3.0,
                  theta_range=[10.0, 20.0], progressive_view=True)
