@@ -178,7 +178,32 @@ def make_mvip_train_step(
     H, W, focal = scfg.H, scfg.W, scfg.focal
     n_imp = ropts.n_importance
 
-    def guidance_losses(params, streams: DeviceStreams, key, i, occ_grid=None):
+    # Guidance weights enter the jitted program as ARGUMENTS, never as
+    # closure captures: closing over `gm` would bake the UNet/VAE params
+    # into the lowered module as literal constants — invisible at test
+    # scale, but at real SD-1.5 scale it duplicates 3.6 GB of HBM (params
+    # live once as arrays and again inside the executable) and bloats the
+    # serialized program. Only the array halves ride the argument list;
+    # the static halves (configs, step bounds) stay closure-bound and the
+    # NamedTuple is rebuilt inside the trace.
+    _gm_arrays = (gm.unet_params, gm.vae_params, gm.alphas_cumprod,
+                  text_pair_rgb, text_pair_normal)
+    _gm_static = (gm.unet_cfg, gm.vae_cfg, gm.min_step, gm.max_step)
+    del gm, text_pair_rgb, text_pair_normal  # nothing below may capture them
+
+    def _rebuild_gm(gm_arr):
+        unet_p, vae_p, acp, pair_rgb, pair_nrm = gm_arr
+        unet_cfg, vae_cfg, min_step, max_step = _gm_static
+        return (
+            GuidanceModels(unet_p, vae_p, unet_cfg, vae_cfg, acp,
+                           min_step, max_step),
+            pair_rgb,
+            pair_nrm,
+        )
+
+    def guidance_losses(params, streams: DeviceStreams, key, i, occ_grid,
+                        gm_arr):
+        gm, text_pair_rgb, text_pair_normal = _rebuild_gm(gm_arr)
         from mvip_tpu.train.step import model_fns
 
         coarse_fn, fine_fn = model_fns(params, coarse_apply, fine_apply)
@@ -389,7 +414,7 @@ def make_mvip_train_step(
 
         return sds_total, metrics
 
-    def loss_fn(params, streams: DeviceStreams, key, i, occ_grid=None):
+    def loss_fn(params, streams: DeviceStreams, key, i, occ_grid, gm_arr):
         k_base, k_guide = jax.random.split(key)
         ropts_b = ropts
         if occ_cfg is not None and occ_grid is not None:
@@ -401,23 +426,28 @@ def make_mvip_train_step(
         loss, metrics = base_losses(params, streams, k_base, scfg, ropts_b,
                                     coarse_apply, fine_apply)
         sds_loss, gmetrics = guidance_losses(params, streams, k_guide, i,
-                                             occ_grid)
+                                             occ_grid, gm_arr)
         loss = loss + mcfg.sds_loss_weight * sds_loss
         metrics.update(gmetrics)
         metrics["loss"] = loss
         return loss, metrics
 
     def one_step(state: TrainState, streams: DeviceStreams, key, i,
-                 occ_grid=None):
+                 occ_grid, gm_arr):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, streams, key, i, occ_grid
+            state.params, streams, key, i, occ_grid, gm_arr
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, params, opt_state), metrics
 
     if n_inner <= 1:
-        return jax.jit(one_step, donate_argnums=(0,))
+        jitted = jax.jit(one_step, donate_argnums=(0,))
+
+        def step_fn(state, streams, key, i, occ_grid=None):
+            return jitted(state, streams, key, i, occ_grid, _gm_arrays)
+
+        return step_fn
 
     # Guidance megastep: `lax.scan` n_inner full MVIP steps per dispatch.
     # Same TPU-native dispatch-amortization trick as `step.make_train_scan`,
@@ -426,12 +456,17 @@ def make_mvip_train_step(
     # scalar, so the in-step anneals/gates (`sd_utils.py:363`,
     # `nerf/utils.py:298`) see every inner step exactly as at stride 1.
     def train_scan(state: TrainState, streams: DeviceStreams, key, i0,
-                   occ_grid=None):
+                   occ_grid, gm_arr):
         def body(st, j):
             return one_step(st, streams, jax.random.fold_in(key, j), i0 + j,
-                            occ_grid)
+                            occ_grid, gm_arr)
 
         state, metrics = jax.lax.scan(body, state, jnp.arange(n_inner))
         return state, jax.tree.map(lambda m: m[-1], metrics)
 
-    return jax.jit(train_scan, donate_argnums=(0,))
+    jitted_scan = jax.jit(train_scan, donate_argnums=(0,))
+
+    def scan_fn(state, streams, key, i0, occ_grid=None):
+        return jitted_scan(state, streams, key, i0, occ_grid, _gm_arrays)
+
+    return scan_fn

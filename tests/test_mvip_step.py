@@ -455,3 +455,64 @@ def test_mvip_megastep_with_occupancy_matches_stride1(key):
                                    rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_mvip_step_guidance_params_not_baked_as_constants(key):
+    """Guidance weights must enter the jitted MVIP step as ARGUMENTS.
+
+    Regression for a production-scale defect: `make_mvip_train_step` used to
+    close over `gm`, so jit baked the UNet/VAE params into the lowered module
+    as literal constants — harmless at test scale, but at real SD-1.5 scale
+    it duplicated 3.6 GB of HBM (params resident once as arrays, again inside
+    the executable). Pin the property by lowering with JAX's captured-constants
+    warning threshold set below the guidance-param byte count and asserting
+    the warning does not fire.
+    """
+    import warnings
+
+    images, masks, depths, poses, focal = _tiny_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+    mcfg_model = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg_model),
+        "fine": None,
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg_model, pts, vd)
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    gm_bytes = sum(
+        a.size * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves((gm.unet_params, gm.vae_params))
+    )
+    assert gm_bytes > 64 * 1024  # the threshold below must be meaningful
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+    ropts = RenderOptions(n_samples=6, n_importance=0, perturb=0.0,
+                          raw_noise_std=0.0)
+    scfg = StepConfig(n_rand=16, depth_loss=False, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(sds_loss_weight=1e-4, is_rgb_guidance=True,
+                      render_chunk=64)
+    optimizer = make_optimizer(5e-3, 250)
+    step = make_mvip_train_step(
+        scfg, ropts, apply_fn, None, optimizer, mcfg, gm,
+        scfg_sds, scfg_sds, scfg_sds, te, te,
+    )
+    state = create_train_state(params, optimizer)
+
+    prev = jax.config.jax_captured_constants_warn_bytes
+    jax.config.update("jax_captured_constants_warn_bytes", gm_bytes // 2)
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            state, metrics = step(state, streams, key, jnp.asarray(1))
+            jax.block_until_ready(metrics["loss"])
+        baked = [str(w.message) for w in caught
+                 if "constants were captured" in str(w.message)]
+        assert not baked, f"guidance params baked into the program: {baked}"
+    finally:
+        jax.config.update("jax_captured_constants_warn_bytes", prev)
+    assert np.isfinite(float(metrics["loss"]))
