@@ -4,6 +4,8 @@ committed rays/s by 420x)."""
 
 import time
 
+import pytest
+
 from mvip_tpu.utils.profiling import (
     StepTimer,
     _mlp_fwd_flops_per_point,
@@ -73,3 +75,70 @@ def test_train_flops_per_ray_hash_counts_heads_only():
     assert train_flops_per_ray("hashgrid_fused", cfg, 64, 64) == \
         train_flops_per_ray("hashgrid", big, 64, 64)
     assert train_flops_per_ray("unknown", cfg, 64, 64) is None
+
+
+@pytest.mark.slow  # compiles the tiny UNet/VAE for XLA cost analysis (~25 s each)
+def test_unet_flops_within_xla_cost_analysis_band():
+    """The analytic walker mirrors apply_unet: XLA's own compiled flop count
+    (which adds elementwise norms/SiLU/softmax on top of matmuls) must sit AT
+    or ABOVE the analytic matmul count, and within a small factor of it."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvip_tpu.guidance.unet import apply_unet, init_unet, tiny_unet_config
+    from mvip_tpu.utils.profiling import unet_fwd_flops
+
+    cfg = tiny_unet_config()
+    h = w = 16
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, h, w, cfg.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 7, cfg.cross_attention_dim))
+    compiled = jax.jit(lambda p, x, t, c: apply_unet(p, cfg, x, t, c)).lower(
+        params, x, t, ctx
+    ).compile()
+    xla = compiled.cost_analysis()["flops"]
+    analytic = unet_fwd_flops(cfg, h, w, batch=1, ctx_tokens=7)
+    assert analytic <= xla * 1.02           # never overcounts real work
+    assert xla <= analytic * 2.5            # elementwise overhead only
+
+
+@pytest.mark.slow  # compiles the tiny UNet/VAE for XLA cost analysis (~25 s each)
+def test_vae_encode_flops_within_xla_cost_analysis_band():
+    import jax
+    import jax.numpy as jnp
+
+    from mvip_tpu.guidance.vae import encode_moments, init_vae, tiny_vae_config
+    from mvip_tpu.utils.profiling import vae_encode_fwd_flops
+
+    cfg = tiny_vae_config()
+    h = w = 32
+    params = init_vae(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, h, w, 3))
+    compiled = jax.jit(lambda p, x: encode_moments(p, cfg, x)).lower(
+        params, x
+    ).compile()
+    xla = compiled.cost_analysis()["flops"]
+    analytic = vae_encode_fwd_flops(cfg, h, w)
+    assert analytic <= xla * 1.02
+    assert xla <= analytic * 2.5
+
+
+def test_real_scale_sds_flops_magnitude():
+    """Pin the real-SD-1.5-scale magnitudes so a walker regression can't silently
+    skew MFU: UNet ~0.8 TFLOPs fwd at 64x64 latents, VAE encoder ~1.1 TFLOPs at
+    512^2 (published SD-1.5 counts are the same ballpark)."""
+    from mvip_tpu.guidance.unet import UNetConfig
+    from mvip_tpu.guidance.vae import VAEConfig
+    from mvip_tpu.utils.profiling import (
+        sds_call_flops,
+        unet_fwd_flops,
+        vae_encode_fwd_flops,
+    )
+
+    u = unet_fwd_flops(UNetConfig(), 64, 64)
+    v = vae_encode_fwd_flops(VAEConfig(), 512, 512)
+    assert 0.5e12 < u < 1.2e12
+    assert 0.7e12 < v < 1.7e12
+    # one rgb-SDS call = 4 vae-encode-equivalents + the batched CFG pair
+    assert abs(sds_call_flops(UNetConfig(), VAEConfig(), 512) - (4 * v + 2 * u)) < 1e6
