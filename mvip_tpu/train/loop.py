@@ -167,6 +167,7 @@ def load_scene(cfg: Config):
         focal,
         depth_gts,
         cfg.max_masked_pixels,
+        sds_render_factor=max(int(cfg.sds_render_factor), 1),
     )
     return (streams, near, far, hwf, render_poses, i_train, i_test,
             test_poses, test_images)
@@ -697,9 +698,11 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
             n_iters = rounded
         timer = StepTimer(cfg.N_rand * step_stride)
         last_rate = None  # most recent completed (synced) window rate
-        # derived MFU stream (model flops per N_rand ray vs chip peak); for
-        # guidance-on steps the extra guidance renders aren't counted, so
-        # mfu reads as a LOWER bound there — see utils/profiling.py
+        # derived MFU stream: total MODEL flops of one optimizer step vs chip
+        # peak. Guidance-on steps count the full step — base-batch render,
+        # masked/normal/colla guidance renders, VAE encodes, and the UNet CFG
+        # pairs (r3 judged the NeRF-head-only accounting "noise wearing an
+        # honesty badge" on config-5 rows) — see utils/profiling.py
         from mvip_tpu.utils.profiling import chip_peak_flops, train_flops_per_ray
 
         _peak = chip_peak_flops()
@@ -707,6 +710,37 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
             exp.backbone, exp.model_cfg, cfg.N_samples, cfg.N_importance,
             sample_keep=(occ_cfg.keep if occ_cfg is not None else 1.0),
         )
+        _fl_step = _fl_ray * cfg.N_rand if _fl_ray else None
+        if _fl_step and use_guidance:
+            from mvip_tpu.utils.profiling import sds_call_flops
+
+            extra_rays = 0.0
+            if mcfg.is_rgb_guidance:
+                extra_rays += (
+                    exp.streams.sds_coords.shape[1]
+                    if mcfg.sds_render_factor > 1
+                    else exp.streams.masked_coords.shape[1]
+                )
+                _fl_step += sds_call_flops(
+                    gm.unet_cfg, gm.vae_cfg, s_rgb.latent_size, 1
+                )
+            if mcfg.is_normal_guidance:
+                fn_ = mcfg.normalmap_render_factor
+                extra_rays += (exp.scfg.H // fn_) * (exp.scfg.W // fn_)
+                _fl_step += sds_call_flops(
+                    gm.unet_cfg, gm.vae_cfg, s_nrm.latent_size, 1
+                )
+            if mcfg.is_colla_guidance:
+                fc_ = mcfg.colla_render_factor
+                extra_rays += (
+                    mcfg.colla_n_views
+                    * (exp.scfg.H // fc_) * (exp.scfg.W // fc_)
+                )
+                _fl_step += sds_call_flops(
+                    gm.unet_cfg, gm.vae_cfg, s_col.latent_size,
+                    mcfg.colla_n_views,
+                )
+            _fl_step += extra_rays * _fl_ray
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
         metrics = None
@@ -807,10 +841,23 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                         rec = {"step": lab, **{k: float(v) for k, v in m.items()}}
                         if rate:
                             rec["rays_per_sec"] = rate
-                            if _fl_ray:
-                                rec["model_tflops_per_sec"] = rate * _fl_ray / 1e12
+                            if _fl_step:
+                                # rate counts the base batch only (N_rand rays
+                                # per optimizer step), so optimizer steps/s =
+                                # rate / N_rand; _fl_step is the step's TOTAL
+                                # model flops (incl. guidance when on)
+                                fl_s = rate / cfg.N_rand * _fl_step
+                                rec["model_tflops_per_sec"] = fl_s / 1e12
                                 if _peak:
-                                    rec["mfu"] = rate * _fl_ray / _peak
+                                    rec["mfu"] = fl_s / _peak
+                        try:
+                            # device HBM high-water mark (real-scale guidance
+                            # probes report memory headroom from this field)
+                            _ms = jax.devices()[0].memory_stats() or {}
+                            if "peak_bytes_in_use" in _ms:
+                                rec["hbm_peak_bytes"] = _ms["peak_bytes_in_use"]
+                        except Exception:
+                            pass
                         metrics_log.write(_json.dumps(rec) + "\n")
                         metrics_log.flush()
                     else:
