@@ -104,6 +104,11 @@ class Config:
     sd_version: str = "inpaint"    # stable-diffusion inpainting checkpoint family
     fp16: bool = True              # bf16 on TPU
     normalmap_render_factor: int = 7
+    # render the RGB-SDS masked view at (H//f, W//f) instead of full res; the
+    # SDS input is resized to 512^2 either way, so f=2 cuts the guidance
+    # step's dominant ray count ~4x with near-identical SDS input (TPU-first
+    # throughput knob; 1 = reference-exact full-res masked render)
+    sds_render_factor: int = 1
     # orbit-pose sampling ranges (nerf/utils.py rand_poses defaults)
     radius_range: List[float] = field(default_factory=lambda: [1.0, 1.5])
     theta_range: List[float] = field(default_factory=lambda: [45.0, 105.0])

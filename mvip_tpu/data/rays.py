@@ -41,6 +41,10 @@ class RayStreams(NamedTuple):
     clf_idx: np.ndarray           # [M1] int32 — unmasked pixels
     masked_coords: np.ndarray     # [N, P_max, 2] int32 (x=col, y=row), padded
     masked_counts: np.ndarray     # [N] int32 — valid prefix length per view
+    # masked pixel coords at the reduced SDS render resolution (H//f, W//f);
+    # empty ([N, 0, 2]) when sds_render_factor == 1 (the reference-exact path)
+    sds_coords: np.ndarray        # [N, P_s, 2] int32, padded
+    sds_counts: np.ndarray        # [N] int32
     # sparse depth supervision (empty arrays when unavailable)
     depth_rays_o: np.ndarray      # [M3, 3]
     depth_rays_d: np.ndarray      # [M3, 3]
@@ -65,6 +69,7 @@ def build_ray_streams(
     depth_gts: Optional[List[dict]] = None,
     max_masked_pixels: int = 0,
     filter_depth_by_mask: bool = True,
+    sds_render_factor: int = 1,
 ) -> RayStreams:
     """Host-side (numpy) stream construction; all heavy math stays on device later.
 
@@ -93,6 +98,34 @@ def build_ray_streams(
             # pad with the last valid pixel so padded rays render harmlessly
             masked_coords[v, k:] = masked_coords[v, k - 1]
     counts = np.minimum(counts, p_max)
+
+    # Reduced-resolution masked coords for the RGB-SDS render (config
+    # `sds_render_factor`). The SDS consumer resizes its input to 512^2
+    # regardless (`guidance/sds._prep_image_mask`), so rendering the masked
+    # view at (H//f, W//f) cuts the step's dominant ray count ~f^2-fold with
+    # near-identical SDS input — the same economy the reference itself applies
+    # to its normal (factor 7) and collaborative (factor 8) SDS renders.
+    # A low-res pixel is masked when ANY pixel of its f x f block is masked,
+    # so the composite always covers the full inpaint region.
+    f = max(int(sds_render_factor), 1)
+    if f > 1:
+        Hs, Ws = H // f, W // f
+        blocks = masks[:, : Hs * f, : Ws * f].reshape(N, Hs, f, Ws, f)
+        masks_s = (blocks == 1).any((2, 4))              # [N, Hs, Ws] bool
+        counts_s = masks_s.reshape(N, -1).sum(-1).astype(np.int32)
+        ps_max = int(counts_s.max() if N else 0)
+        sds_coords = np.zeros((N, ps_max, 2), np.int32)
+        for v in range(N):
+            rr, cc = np.nonzero(masks_s[v])
+            k = len(rr)
+            sds_coords[v, :k, 0] = cc
+            sds_coords[v, :k, 1] = rr
+            if 0 < k < ps_max:
+                sds_coords[v, k:] = sds_coords[v, k - 1]
+        sds_counts = counts_s
+    else:
+        sds_coords = np.zeros((N, 0, 2), np.int32)
+        sds_counts = np.zeros((N,), np.int32)
 
     if depth_gts:
         o_list, d_list, t_list, w_list = [], [], [], []
@@ -133,6 +166,8 @@ def build_ray_streams(
         clf_idx=clf_idx,
         masked_coords=masked_coords,
         masked_counts=counts,
+        sds_coords=sds_coords,
+        sds_counts=sds_counts,
         depth_rays_o=depth_rays_o,
         depth_rays_d=depth_rays_d,
         depth_target=depth_target,

@@ -107,6 +107,7 @@ def build_guidance(cfg: Config):
         normalmap_render_factor=cfg.normalmap_render_factor,
         is_colla_guidance=cfg.is_colla_guidance,
         render_chunk=min(cfg.chunk, 8192),
+        sds_render_factor=max(int(cfg.sds_render_factor), 1),
     )
     pair_rgb = jnp.concatenate([uncond, cond], 0)
     pair_nrm = jnp.concatenate([uncond, cond_n], 0)

@@ -58,6 +58,13 @@ class MVIPConfig:
     colla_window_step: int = 2
     colla_render_factor: int = 8
     render_chunk: int = 8192        # masked-pixel render chunk (remat'd)
+    # >1: render the RGB-SDS masked view at (H//f, W//f) using the
+    # block-reduced coords in `streams.sds_coords` and composite into the
+    # resized GT. The SDS consumer resizes to 512^2 regardless
+    # (`sd_utils.py:282-284`), so this cuts the step's dominant ray count
+    # ~f^2-fold — the economy the reference already applies to its normal
+    # (factor 7) and collaborative (factor 8) renders. 1 = reference-exact.
+    sds_render_factor: int = 1
 
 
 def composite_masked_render(gt, coords, count, rgb):
@@ -336,14 +343,35 @@ def make_mvip_train_step(
 
         # --- 1-2: masked-pixel render + composite + RGB SDS ------------------
         if mcfg.is_rgb_guidance:
-            coords = streams.masked_coords[v].astype(jnp.float32)   # [P, 2]
-            vv = jnp.full((coords.shape[0],), v)
-            ro, rd = rays_at_view_coords(streams.poses, vv, coords, H, W, focal)
-            ret = guided_render(k_r, ro, rd, ("rgb",))
-            combined = composite_masked_render(
-                streams.images[v], streams.masked_coords[v],
-                streams.masked_counts[v], ret["rgb"],
-            )
+            fs = mcfg.sds_render_factor
+            if fs > 1:
+                # reduced-res path: render the (block-reduced) masked coords
+                # at (H//fs, W//fs) and composite into the resized GT
+                Hs, Ws = H // fs, W // fs
+                coords = streams.sds_coords[v].astype(jnp.float32)   # [Ps, 2]
+                vv = jnp.full((coords.shape[0],), v)
+                ro, rd = rays_at_view_coords(
+                    streams.poses, vv, coords, Hs, Ws, focal / fs
+                )
+                ret = guided_render(k_r, ro, rd, ("rgb",))
+                gt = jax.image.resize(streams.images[v], (Hs, Ws, 3), "linear")
+                combined = composite_masked_render(
+                    gt, streams.sds_coords[v], streams.sds_counts[v],
+                    ret["rgb"],
+                )
+            else:
+                coords = streams.masked_coords[v].astype(jnp.float32)  # [P, 2]
+                vv = jnp.full((coords.shape[0],), v)
+                ro, rd = rays_at_view_coords(
+                    streams.poses, vv, coords, H, W, focal
+                )
+                ret = guided_render(k_r, ro, rd, ("rgb",))
+                combined = composite_masked_render(
+                    streams.images[v], streams.masked_coords[v],
+                    streams.masked_counts[v], ret["rgb"],
+                )
+            # full-res mask either way: sds resizes image and mask to its
+            # working resolution independently (`_prep_image_mask`)
             mask_img = streams.masks[v][..., None]                   # [H, W, 1]
             sds_rgb, rgb_gmag = sds_rgb_step(
                 k_sds, gm, sds_rgb_cfg, i, combined[None], mask_img[None],

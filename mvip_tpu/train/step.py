@@ -44,6 +44,8 @@ class DeviceStreams(NamedTuple):
     clf_idx: jnp.ndarray
     masked_coords: jnp.ndarray
     masked_counts: jnp.ndarray
+    sds_coords: jnp.ndarray       # [N, 0, 2] unless sds_render_factor > 1
+    sds_counts: jnp.ndarray
     depth_rays_o: jnp.ndarray
     depth_rays_d: jnp.ndarray
     depth_target: jnp.ndarray

@@ -329,6 +329,7 @@ def test_mvip_step_normal_gating(key):
     assert float(m_after["sds_normal"]) != 0.0
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_mvip_step_with_interval_occupancy(key):
     """Full MVIP step (all three SDS branches) with interval-occupancy
     pruning (occ_cfg set, occ_grid passed as the 5th arg): every render in
@@ -516,3 +517,78 @@ def test_mvip_step_guidance_params_not_baked_as_constants(key):
     finally:
         jax.config.update("jax_captured_constants_warn_bytes", prev)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sds_coords_block_reduction():
+    """sds_render_factor=2 coords: a low-res pixel is masked iff ANY pixel of
+    its 2x2 block is masked; coords stay inside (H//2, W//2) and pad with the
+    last valid pixel."""
+    images, masks, depths, poses, focal = _tiny_scene()
+    s = build_ray_streams(images, masks, depths, poses, focal,
+                          sds_render_factor=2)
+    N, H, W = masks.shape
+    Hs, Ws = H // 2, W // 2
+    blocks = masks[:, : Hs * 2, : Ws * 2].reshape(N, Hs, 2, Ws, 2)
+    expect = (blocks == 1).any((2, 4))
+    assert (s.sds_counts == expect.reshape(N, -1).sum(-1)).all()
+    for v in range(N):
+        got = np.zeros((Hs, Ws), bool)
+        k = int(s.sds_counts[v])
+        got[s.sds_coords[v, :k, 1], s.sds_coords[v, :k, 0]] = True
+        assert (got == expect[v]).all()
+        # padding repeats the last valid pixel (renders harmlessly)
+        if k < s.sds_coords.shape[1]:
+            assert (s.sds_coords[v, k:] == s.sds_coords[v, k - 1]).all()
+    # factor 1: the reduced-res stream is empty (reference-exact path)
+    s1 = build_ray_streams(images, masks, depths, poses, focal)
+    assert s1.sds_coords.shape == (N, 0, 2) and (s1.sds_counts == 0).all()
+
+
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
+def test_mvip_step_sds_render_factor(key):
+    """The reduced-res RGB-SDS path (sds_render_factor=2) runs the full step,
+    produces finite metrics, and moves the params — with ~4x fewer guidance
+    rays than the full-res masked render."""
+    images, masks, depths, poses, focal = _tiny_scene()
+    host = build_ray_streams(images, masks, depths, poses, focal,
+                             sds_render_factor=2)
+    assert host.sds_coords.shape[1] < host.masked_coords.shape[1]
+    streams = DeviceStreams.from_host(host)
+    H, W = images.shape[1:3]
+    mcfg_model = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg_model),
+        "fine": None,
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg_model, pts, vd)
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+    # raw_noise_std keeps sigma gradients alive on the tiny random-init model
+    # (without it every sampled raw sigma can sit in ReLU's dead half and the
+    # whole step has exactly-zero gradient — renders all-black, grads stuck)
+    ropts = RenderOptions(n_samples=6, n_importance=0, perturb=1.0,
+                          raw_noise_std=1.0)
+    scfg = StepConfig(n_rand=16, depth_loss=False, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    mcfg = MVIPConfig(is_rgb_guidance=True, is_normal_guidance=False,
+                      is_colla_guidance=False, render_chunk=32,
+                      sds_render_factor=2)
+    optimizer = make_optimizer(5e-3, 250)
+    state = create_train_state(params, optimizer)
+    step = make_mvip_train_step(
+        scfg, ropts, apply_fn, None, optimizer, mcfg, gm,
+        scfg_sds, scfg_sds, scfg_sds, te, te,
+    )
+    p0 = jax.tree.map(lambda a: np.asarray(a).copy(), state.params)
+    for i in range(2):
+        state, metrics = step(state, streams, jax.random.fold_in(key, i),
+                              jnp.asarray(i + 1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["sds_rgb"])) and float(metrics["sds_rgb"]) > 0
+    moved = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()) > 0,
+                     state.params, p0)
+    )
+    assert any(moved)
