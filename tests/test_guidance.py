@@ -94,6 +94,7 @@ def test_ddim_step_recovers_x0(key):
 # --- UNet / VAE ------------------------------------------------------------------
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_unet_shapes_and_per_batch_t(key):
     cfg = tiny_unet_config()
     params = init_unet(key, cfg)
@@ -107,6 +108,7 @@ def test_unet_shapes_and_per_batch_t(key):
     assert out2.shape == out.shape
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_unet_bf16_compute(key):
     cfg = tiny_unet_config()
     params = init_unet(key, cfg)
@@ -116,6 +118,7 @@ def test_unet_bf16_compute(key):
     assert out.dtype == jnp.float32 and np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_vae_roundtrip_shapes_and_grad(key):
     cfg = tiny_vae_config()
     params = init_vae(key, cfg)
@@ -185,6 +188,7 @@ def test_sds_normal_step_runs(key):
     [False,
      pytest.param(True, marks=pytest.mark.slow)],  # reference-bug-parity flag
 )
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_sds_colla_modes(key, apply_mode, over_neighbors):
     gm, scfg, te = _tiny_guidance(key)
     imgs = jax.random.uniform(key, (3, 12, 12, 3))

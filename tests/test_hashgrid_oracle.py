@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvip_tpu.models.nerf_hashgrid import (
     HashGridConfig,
@@ -62,6 +63,7 @@ def test_hashgrid_encode_matches_numpy_oracle(key):
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_render_rays_chunked_matches_unchunked(key):
     from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
     from mvip_tpu.render.renderer import (

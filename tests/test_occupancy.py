@@ -118,6 +118,7 @@ def test_pruned_render_exact_on_conservative_grid():
         )
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_pruned_hierarchical_render_close():
     """Coarse+fine: pruning the coarse stage perturbs the importance-sampling
     bin edges (zero-weight spans collapse), so the fine render is only
@@ -162,6 +163,7 @@ def test_interval_mode_narrows_to_occupied_span():
     assert float(jnp.max(jnp.diff(zp[0]))) < step
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_interval_mode_beats_plain_ladder_accuracy():
     """The point of interval mode: K=24 samples concentrated in the occupied
     span reproduce a 512-sample dense reference BETTER than the full 48-sample
@@ -277,6 +279,7 @@ def test_pruner_alignment_quantum():
             assert K < S
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_mlp_hier_pruned_matches_xla_renderer():
     """The fused-megakernel hierarchical render with an interval pruner
     (phantom-sample last-width trick, `ops/occupancy.phantom_ladder`) must

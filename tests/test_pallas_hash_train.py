@@ -60,6 +60,7 @@ def _xla_loss(params, ro, rd, z, noise, t_rgb, t_disp, t_depth,
     )
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_hash_fused_chain_matches_jax_grad():
     for white_bkgd in (False, True):
         args = _setup()
@@ -132,6 +133,7 @@ def test_hash_fused_step_trains():
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_hash_hier_render_grad_parity():
     """Stochastic hierarchical guided render on the hash kernels == the XLA
     render_rays under identical RNG draws (outputs + fine-params gradients;
@@ -188,6 +190,7 @@ def test_hash_hier_render_grad_parity():
         )
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_hash_render_image_matches_direct_render():
     """Full-image eval render (chunked, reshaped) == one direct deterministic
     hierarchical render over the same rays; finite outputs, HxWx3 shape."""

@@ -42,6 +42,7 @@ def test_fused_forward_matches_xla(N, F):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_grads_match_xla():
     table, x, res_arr, dense, T = _setup(N=512)
     g = jax.random.normal(jax.random.PRNGKey(7), (512, table.shape[0] * 2))
@@ -66,6 +67,7 @@ def test_fused_grads_match_xla():
     )
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_backbone_selectable():
     """--backbone hashgrid_fused builds a fused HashGridConfig; on CPU the
     apply falls back to the identical XLA encode (fused path is TPU-only)."""

@@ -113,6 +113,7 @@ def test_hash_fused_chain_sorted_matches_gen2():
                                    err_msg=str(pa))
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_hash_train_render_sorted_matches_gen2():
     """Differentiable fused guidance render (ops/pallas_hash_render) under
     both encode modes: outputs and parameter cotangents must agree."""

@@ -37,6 +37,7 @@ def test_transposed_forward_matches_xla(N, F):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_transposed_grads_match_xla():
     table, x, res_arr, dense, T = _setup(N=512)
     g = jax.random.normal(jax.random.PRNGKey(7), (512, table.shape[0] * 2))
@@ -122,6 +123,7 @@ def test_trimmed_dense_levels_match_xla():
     )
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_bfloat16_table_operand_close_to_xla():
     """compute_dtype=bfloat16 casts the table slab OUTSIDE the kernel (a real
     bf16 MXU operand — in-kernel casts are elided by Mosaic; see BASELINE.md
@@ -137,6 +139,7 @@ def test_bfloat16_table_operand_close_to_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_transposed_big_table_block_cap():
     """log2T > 16 shrinks the point block so the one-hot slab fits VMEM
     (tcnn-capacity 2^19 support); semantics stay oracle-exact."""
@@ -150,6 +153,7 @@ def test_transposed_big_table_block_cap():
 
 
 @pytest.mark.parametrize("mc", [2, 8])
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_transposed_corner_merge_matches_xla(mc):
     """Corner-merged gather matmuls (`merge` > 1: per-corner one-hots
     lanes-concatenated into one [128, BT] @ [BT, MC*B] pass) are semantically

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
 from mvip_tpu.ops.pallas_render import fused_render_mlp
@@ -22,6 +23,7 @@ def _setup(key, n_rays=48, n_samples=16):
     return cfg, params, rays_o, rays_d, z
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_render_matches_reference(key):
     cfg, params, ro, rd, z = _setup(key)
     interpret = jax.devices()[0].platform != "tpu"
@@ -54,6 +56,7 @@ def test_fused_render_pads_ragged_ray_count(key):
     assert np.isfinite(np.asarray(out["rgb"])).all()
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_hierarchical_matches_reference(key):
     from mvip_tpu.ops.pallas_render import fused_hierarchical_render
 
@@ -76,6 +79,7 @@ def test_fused_hierarchical_matches_reference(key):
                                np.asarray(expect["rgb0"]), atol=3e-4)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_train_render_grad_parity(key):
     """Hand-written backward kernel == jax.grad of the XLA renderer (params-only
     gradients; rays/z are stop-grad in the train step)."""
@@ -123,6 +127,7 @@ def test_fused_train_render_grad_parity(key):
         assert max(jax.tree_util.tree_leaves(rel)) < 3e-2
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_hier_train_render_grad_parity(key):
     """Stochastic hierarchical guided render (the guidance-loss hot path) ==
     the XLA render_rays under identical RNG draws: outputs and fine-params

@@ -8,6 +8,7 @@ gradients for identical rays / z / noise / targets / scales.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
 from mvip_tpu.ops.compositing import composite
@@ -48,6 +49,7 @@ def _xla_loss(params, ro, rd, z, noise, t_rgb, t_disp, t_depth,
     )
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_train_kernel_matches_jax_grad():
     for white_bkgd in (False, True):
         args = _setup()
@@ -86,6 +88,7 @@ def test_fused_train_kernel_weights_match_composite():
     )
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_step_multichip_shard_map():
     """The shard_map variant: per-device kernels, psum'd grads, on the
     virtual 8-device CPU mesh."""
@@ -204,6 +207,7 @@ def test_fused_step_trains():
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_step_with_interval_occupancy():
     """The fused step with interval-occupancy pruning (phantom-sample ladder,
     `ops/occupancy.phantom_ladder`): the SAME callable serves the unpruned
@@ -245,6 +249,7 @@ def test_fused_step_with_interval_occupancy():
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_train_kernel_phantom_sample_is_inert():
     """A phantom sample (appended z, PHANTOM_NOISE in its noise slot) must
     leave the kernel's loss AND gradients exactly at the XLA oracle's values

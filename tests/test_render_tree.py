@@ -12,12 +12,14 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
 from mvip_tpu.ops.compositing import alpha_from_weights, composite
 from mvip_tpu.render.renderer import RenderOptions
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_alpha_from_weights_roundtrips_composite(key):
     raw = jax.random.normal(key, (6, 12, 4))
     z = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 1), (6, 12),
@@ -71,6 +73,7 @@ def test_render_pose_list_writes_reference_tree(tmp_path, key):
     assert pose4.shape == (4, 4) and pose4[3, 3] == 1.0
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_fused_image_renders_return_extras(key):
     """Both fused eval paths expose weights/z_vals/alpha (interpret mode)."""
     from mvip_tpu.models.nerf_hashgrid import HashGridConfig, init_hashgrid_nerf

@@ -59,6 +59,7 @@ def test_sds_latent_step(key, tiny):
     _grad_flows(lambda im: sds_latent_step(key, gm, cfg, 10, im, mask, te), img)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_sds_pixel_step(key):
     """Pixel-space UNet (in=3): gradient lands directly on the image."""
     ucfg = dataclasses.replace(tiny_unet_config(), in_channels=3, out_channels=3)
@@ -90,6 +91,7 @@ def test_sds_novel_view_step(key):
     )
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_sds_rgb_perpneg_step(key, tiny):
     from mvip_tpu.guidance.sds_variants import sds_rgb_perpneg_step
 

@@ -9,6 +9,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvip_tpu.ops.activation import trunc_exp
 
@@ -23,6 +24,7 @@ def test_trunc_exp_value_and_clamped_grad():
     np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_nerf_rgb_frozen_sigma(key):
     from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
     from mvip_tpu.models.nerf_rgb import apply_nerf_rgb, init_nerf_rgb
@@ -64,6 +66,7 @@ def test_reprojection_identity_and_match(key):
     assert bool(ok[0])
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_sample_sigma_probe(key, tmp_path):
     from mvip_tpu.eval.probes import render_test_ray
     from mvip_tpu.models.nerf_mlp import NeRFMLPConfig, apply_nerf_mlp, init_nerf_mlp
@@ -167,6 +170,7 @@ def test_generate_html_cli(tmp_path):
     assert "<img" in html and "exp1" in html
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_evaluate_cli(tmp_path):
     import imageio.v2 as imageio
 

@@ -54,6 +54,7 @@ def test_clip_text_matches_transformers():
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_clip_text_projection_matches_transformers():
     """`clip_text_features` (EOS pooling + projection + L2 norm) vs
     transformers CLIPTextModelWithProjection — the reference's text embeds
@@ -91,6 +92,7 @@ def test_clip_text_projection_matches_transformers():
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_clip_vision_matches_transformers():
     """Full vision tower (patch embed -> CLS pool -> projection -> L2 norm)
     vs transformers CLIPVisionModelWithProjection — the reference's image

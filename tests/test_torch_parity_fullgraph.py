@@ -491,6 +491,7 @@ class TLPIPS(nn.Module):
         return total
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_lpips_matches_torch_replica(rng):
     from mvip_tpu.eval.lpips_jax import (
         import_lpips_state,

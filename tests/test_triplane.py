@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvip_tpu.models.nerf_triplane import (
     TriplaneConfig,
@@ -41,6 +42,7 @@ def test_linear_line_endpoints(key):
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(line[-1]), rtol=1e-5)
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_triplane_nerf_contract_and_grads(key):
     cfg = TriplaneConfig(plane_res=16, line_res=16, n_comp=4, bound=4.0,
                          sigma_hidden=16, color_hidden=16)
@@ -61,6 +63,7 @@ def test_triplane_nerf_contract_and_grads(key):
         assert float(jnp.abs(g["lines"][i]).sum()) > 0
 
 
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
 def test_triplane_fits_signal(key):
     """A few Adam steps reduce a toy density-field regression loss."""
     import optax
