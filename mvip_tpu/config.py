@@ -109,6 +109,14 @@ class Config:
     # step's dominant ray count ~4x with near-identical SDS input (TPU-first
     # throughput knob; 1 = reference-exact full-res masked render)
     sds_render_factor: int = 1
+    # render the normal-map view and the colla neighbor views in ONE fused
+    # dispatch: both are small (H//7, H//8-scale) full-view grids far below
+    # chip saturation, so concatenating their ray sets keeps the megakernel
+    # at its large-batch rate and drops one launch chain per step. Per-ray
+    # rendering is independent — only the stochastic sample draws regroup
+    # (one PRNG stream instead of two), so trajectories match statistically
+    # but not bit-for-bit; off = reference-exact two-dispatch structure.
+    fuse_guidance_renders: bool = False
     # orbit-pose sampling ranges (nerf/utils.py rand_poses defaults)
     radius_range: List[float] = field(default_factory=lambda: [1.0, 1.5])
     theta_range: List[float] = field(default_factory=lambda: [45.0, 105.0])

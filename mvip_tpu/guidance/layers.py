@@ -74,13 +74,21 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndar
     if padding is None:
         kh, kw = p["w"].shape[:2]
         padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    # f32 activations keep the explicit f32 accumulate (bit-identical to the
+    # golden-tested path). bf16 activations emit bf16: conv_general_dilated's
+    # TRANSPOSE rejects mixed f32-cotangent/bf16-operand pairs, so an
+    # upcasting conv is not differentiable — and the MXU accumulates bf16
+    # operands in f32 internally regardless, so only the inter-pass partial
+    # rounding changes (frozen-guidance-net noise floor; the reference's fp16
+    # torch pipe rounds identically).
+    pet = jnp.float32 if x.dtype == jnp.dtype(jnp.float32) else x.dtype
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     return (y + p["b"]).astype(x.dtype)
 

@@ -120,12 +120,20 @@ def _prep_image_mask(image, mask, size: int, normalize: bool):
     return img, m
 
 
-def _encode_latents(key, gm: GuidanceModels, img, masked_img):
-    """VAE-encode image (grad ON) and masked image (grad OFF, UNet input only)."""
+def _encode_latents(key, gm: GuidanceModels, img, masked_img,
+                    compute_dtype=None):
+    """VAE-encode image (grad ON) and masked image (grad OFF, UNet input only).
+
+    compute_dtype: frozen-encoder conv precision (bf16 in production, like the
+    reference's fp16 pipe). The encoder VJP is the only differentiated
+    guidance net and dominates the colla phase at batch 10 x 512^2 when run
+    f32 (tools/probe_colla_cost.py)."""
     k1, k2 = jax.random.split(key)
-    z0 = vae_mod.encode(gm.vae_params, gm.vae_cfg, img, k1, sample=True)
+    z0 = vae_mod.encode(gm.vae_params, gm.vae_cfg, img, k1, sample=True,
+                        compute_dtype=compute_dtype)
     masked_z = jax.lax.stop_gradient(
-        vae_mod.encode(gm.vae_params, gm.vae_cfg, masked_img, k2, sample=True)
+        vae_mod.encode(gm.vae_params, gm.vae_cfg, masked_img, k2, sample=True,
+                       compute_dtype=compute_dtype)
     )
     return z0, masked_z
 
@@ -159,7 +167,8 @@ def _sds_core(key, gm: GuidanceModels, cfg: SDSConfig, image, mask, text_embeds,
     masked_img = img * (m < 0.5).astype(img.dtype)
 
     k_enc, k_noise = jax.random.split(key)
-    z0, masked_z = _encode_latents(k_enc, gm, img, masked_img)
+    z0, masked_z = _encode_latents(k_enc, gm, img, masked_img,
+                                   compute_dtype=cfg.compute_dtype)
 
     mask_lat = jax.lax.stop_gradient(resize_nearest(m, lat_size, lat_size))
 

@@ -177,9 +177,21 @@ def sample_latents(key, moments: jnp.ndarray) -> jnp.ndarray:
     return mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, mean.dtype)
 
 
-def encode(params, cfg: VAEConfig, x: jnp.ndarray, key=None, sample: bool = True):
-    """Image -> scaled latents (reference `encode_imgs`, `sd_utils.py:633-641`)."""
+def encode(params, cfg: VAEConfig, x: jnp.ndarray, key=None, sample: bool = True,
+           compute_dtype=None):
+    """Image -> scaled latents (reference `encode_imgs`, `sd_utils.py:633-641`).
+
+    compute_dtype: run the frozen encoder's convs in this dtype (bf16 on TPU —
+    the reference loads the whole SD pipe in fp16, `sd_utils.py:69-74`);
+    moments return to f32 before the stochastic sample so the latent noise
+    algebra stays full precision. None = params' native dtype (tests/golden
+    parity run f32)."""
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+        x = x.astype(compute_dtype)
     moments = encode_moments(params, cfg, x)
+    if compute_dtype is not None:
+        moments = moments.astype(jnp.float32)
     if sample and key is not None:
         z = sample_latents(key, moments)
     else:

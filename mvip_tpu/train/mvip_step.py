@@ -65,6 +65,10 @@ class MVIPConfig:
     # ~f^2-fold — the economy the reference already applies to its normal
     # (factor 7) and collaborative (factor 8) renders. 1 = reference-exact.
     sds_render_factor: int = 1
+    # True: when BOTH normal and colla guidance are on, render the normal
+    # view's depth and the Nv colla neighbor views in one concatenated
+    # dispatch instead of two (config.py `fuse_guidance_renders`).
+    fuse_guidance_renders: bool = False
 
 
 def composite_masked_render(gt, coords, count, rgb):
@@ -102,15 +106,6 @@ def _render_chunked_remat(key, rays_o, rays_d, near, far, coarse_fn, fine_fn,
 
     outs = jax.lax.map(body, (keys, ro, rd))
     return {k: v.reshape(n_chunks * chunk, *v.shape[2:])[:n] for k, v in outs.items()}
-
-
-def _render_view_image(key, streams: DeviceStreams, v, H, W, focal, render_fn,
-                       keep=("rgb", "disp", "depth")):
-    """Full-image render of train view `v` (traced index) at (H, W, focal)."""
-    c2w = streams.poses[v]
-    rays_o, rays_d = rays_for_pose(H, W, focal, c2w)
-    ret = render_fn(key, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), keep)
-    return {k: x.reshape(H, W, *x.shape[1:]) for k, x in ret.items()}
 
 
 def fused_guidance_supported(ropts: RenderOptions, backbone: str,
@@ -380,16 +375,53 @@ def make_mvip_train_step(
             sds_total = sds_total + sds_rgb
             metrics["sds_rgb"] = rgb_gmag  # mean |grad| — the meaningful signal
 
-        # --- 3: normal-map SDS -------------------------------------------------
+        # ray grids for phases 3 (normal view) and 4 (colla neighbors) are
+        # built up front so the fused-dispatch path can concatenate them
         if mcfg.is_normal_guidance:
             f = mcfg.normalmap_render_factor
             Hn, Wn = H // f, W // f
-            ret_n = _render_view_image(
-                k_rn, streams, v, Hn, Wn, focal / f, guided_render,
-                keep=("depth",),
+            ro_n, rd_n = rays_for_pose(Hn, Wn, focal / f, streams.poses[v])
+            ro_n, rd_n = ro_n.reshape(-1, 3), rd_n.reshape(-1, 3)
+        if mcfg.is_colla_guidance:
+            fc = mcfg.colla_render_factor
+            Hc, Wc = H // fc, W // fc
+            half = mcfg.colla_n_views // 2
+            offs = (jnp.arange(mcfg.colla_n_views) - half) * mcfg.colla_window_step
+            base = jnp.mod(i, n_views)
+            vids = jnp.clip(base + offs, 0, n_views - 1)             # [Nv]
+
+            # ONE batched render for all neighbor views: each view is only
+            # (H/f)x(W/f) ~ a few thousand rays, far below chip saturation —
+            # flattening the Nv ray grids into a single dispatch keeps the
+            # renderer at its large-batch rate instead of Nv small launches
+            # (the reference loops Python-side per view, `run.py:1365-1401`)
+            def rays_one(vid):
+                ro, rd = rays_for_pose(Hc, Wc, focal / fc, streams.poses[vid])
+                return ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+            ros, rds = jax.vmap(rays_one)(vids)                  # [Nv, R, 3]
+            ro_c, rd_c = ros.reshape(-1, 3), rds.reshape(-1, 3)
+
+        depth_n = rgbs_c = None
+        if (mcfg.fuse_guidance_renders and mcfg.is_normal_guidance
+                and mcfg.is_colla_guidance):
+            # fused dispatch: both grids ride one render (phases 3+4 are
+            # each far below chip fill; see MVIPConfig.fuse_guidance_renders)
+            n_n = ro_n.shape[0]
+            ret_nc = guided_render(
+                k_rn, jnp.concatenate([ro_n, ro_c]),
+                jnp.concatenate([rd_n, rd_c]), ("rgb", "depth"),
             )
+            depth_n = ret_nc["depth"][:n_n].reshape(Hn, Wn)
+            rgbs_c = ret_nc["rgb"][n_n:].reshape(mcfg.colla_n_views, Hc, Wc, 3)
+
+        # --- 3: normal-map SDS -------------------------------------------------
+        if mcfg.is_normal_guidance:
+            if depth_n is None:
+                ret_n = guided_render(k_rn, ro_n, rd_n, ("depth",))
+                depth_n = ret_n["depth"].reshape(Hn, Wn)
             normal_map = depth_to_normal_map(
-                ret_n["depth"], focal / f, Wn / 2.0, Hn / 2.0, k=mcfg.normal_k
+                depth_n, focal / f, Wn / 2.0, Hn / 2.0, k=mcfg.normal_k
             )
             mask_n = jax.image.resize(
                 streams.masks[v][..., None], (Hn, Wn, 1), "nearest"
@@ -406,27 +438,10 @@ def make_mvip_train_step(
 
         # --- 4: collaborative multi-view SDS -----------------------------------
         if mcfg.is_colla_guidance:
-            f = mcfg.colla_render_factor
-            Hc, Wc = H // f, W // f
-            half = mcfg.colla_n_views // 2
-            offs = (jnp.arange(mcfg.colla_n_views) - half) * mcfg.colla_window_step
-            base = jnp.mod(i, n_views)
-            vids = jnp.clip(base + offs, 0, n_views - 1)             # [Nv]
-
-            # ONE batched render for all neighbor views: each view is only
-            # (H/f)x(W/f) ~ a few thousand rays, far below chip saturation —
-            # flattening the Nv ray grids into a single dispatch keeps the
-            # renderer at its large-batch rate instead of Nv small launches
-            # (the reference loops Python-side per view, `run.py:1365-1401`)
-            def rays_one(vid):
-                ro, rd = rays_for_pose(Hc, Wc, focal / f, streams.poses[vid])
-                return ro.reshape(-1, 3), rd.reshape(-1, 3)
-
-            ros, rds = jax.vmap(rays_one)(vids)                  # [Nv, R, 3]
-            ret_c = guided_render(
-                k_rc, ros.reshape(-1, 3), rds.reshape(-1, 3), ("rgb",)
-            )
-            rgbs = ret_c["rgb"].reshape(mcfg.colla_n_views, Hc, Wc, 3)
+            if rgbs_c is None:
+                ret_c = guided_render(k_rc, ro_c, rd_c, ("rgb",))
+                rgbs_c = ret_c["rgb"].reshape(mcfg.colla_n_views, Hc, Wc, 3)
+            rgbs = rgbs_c
             masks_c = jax.vmap(
                 lambda vid: jax.image.resize(
                     streams.masks[vid][..., None], (Hc, Wc, 1), "nearest"

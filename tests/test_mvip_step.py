@@ -592,3 +592,67 @@ def test_mvip_step_sds_render_factor(key):
                      state.params, p0)
     )
     assert any(moved)
+
+
+def test_mvip_step_fuse_guidance_renders_matches_unfused(key):
+    """fuse_guidance_renders=True concatenates the normal-view and colla
+    ray grids into ONE dispatch. With deterministic rendering (perturb=0,
+    raw_noise_std=0) the only behavioral difference — PRNG stream grouping
+    inside the renders — vanishes, so the fused step must reproduce the
+    unfused step's loss, SDS metrics, and updated params exactly."""
+    images, masks, depths, poses, focal = _tiny_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+    mcfg_model = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg_model),
+        "fine": init_nerf_mlp(jax.random.PRNGKey(2), mcfg_model),
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg_model, pts, vd)
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+    ropts = RenderOptions(n_samples=6, n_importance=4, perturb=0.0,
+                          raw_noise_std=0.0)
+    scfg = StepConfig(n_rand=16, depth_loss=False, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    base = dict(
+        sds_loss_weight=1e-4,
+        is_rgb_guidance=True,
+        is_normal_guidance=True, normal_start=0, normalmap_render_factor=2,
+        normal_k=5,
+        is_colla_guidance=True, colla_n_views=3, colla_render_factor=2,
+        render_chunk=64,
+    )
+    optimizer = make_optimizer(5e-3, 250)
+
+    results = {}
+    for fuse in (False, True):
+        mcfg = MVIPConfig(fuse_guidance_renders=fuse, **base)
+        step = make_mvip_train_step(
+            scfg, ropts, apply_fn, apply_fn, optimizer, mcfg, gm,
+            scfg_sds, scfg_sds, scfg_sds, te, te,
+        )
+        # fresh COPIES each variant: the step donates the state, so reusing
+        # the same leaves across variants would hit deleted arrays
+        state = create_train_state(
+            jax.tree.map(jnp.copy, params), optimizer
+        )
+        state, metrics = step(state, streams, key, jnp.asarray(1))
+        results[fuse] = (jax.device_get(state.params),
+                         {k: float(v) for k, v in metrics.items()})
+
+    p_ref, m_ref = results[False]
+    p_fuse, m_fuse = results[True]
+    for k in ("loss", "sds_rgb", "sds_normal", "sds_colla"):
+        assert np.isfinite(m_ref[k])
+        np.testing.assert_allclose(m_fuse[k], m_ref[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fuse)):
+        if a is None:
+            continue
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--sds_render_factor", type=int, default=1)
+    ap.add_argument("--fuse_guidance_renders", default="false")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +51,7 @@ def main():
 
     cfg = load_config(["--config", args.config,
                        "--sds_render_factor", str(args.sds_render_factor),
+                       "--fuse_guidance_renders", args.fuse_guidance_renders,
                        "--megastep", "1"])
     exp = L.setup_experiment(cfg)
     occ_cfg = None
@@ -108,8 +110,11 @@ def main():
             mcfg, gm, s_rgb, s_nrm, s_col, pair_rgb, pair_nrm,
             fused_mlp_cfg=fused_mlp_cfg, occ_cfg=occ_cfg,
         )
+        # fresh COPIES each variant: the step donates the state, so a second
+        # variant built from the same init_params leaves would hit
+        # donation-deleted arrays
         state = create_train_state(
-            jax.tree.map(lambda a: a, exp.init_params), optimizer
+            jax.tree.map(jnp.copy, exp.init_params), optimizer
         )
         occ_arg = (grid,) if occ_cfg is not None else ()
         s = jnp.zeros((), jnp.float32)

@@ -227,12 +227,16 @@ def cmd_run(args):
         verify += ["--inception_weights", args.inception_weights]
     _sh(verify)
 
-    # phase 1: train (auto-resumes if the expdir already has checkpoints)
+    # phase 1: train (auto-resumes if the expdir already has checkpoints).
+    # megastep is forced to 1: real-scale UNets under megastep>1 multiply the
+    # traced guidance graph and the XLA compile runs >25 min (ROADMAP r3
+    # lesson) — config files shipping `megastep = 5` would hang here.
     if not args.skip_train:
         _sh([sys.executable, "run.py", "--config", args.config,
              "--expname", args.expname, "--basedir", args.basedir,
              "--sd_weights", args.sd_root, "--N_iters", str(args.n_iters),
-             "--occ_grid", "true", "--i_weights", "500", "--ckpt_keep", "100"])
+             "--occ_grid", "true", "--i_weights", "500", "--ckpt_keep", "100",
+             "--megastep", str(args.megastep)])
 
     # phase 2: render the held-out testset from the final checkpoint
     if not args.skip_render:
@@ -323,6 +327,9 @@ def main():
     r.add_argument("--basedir", default="./logs_ours")
     r.add_argument("--expname", default="s1_weights_day")
     r.add_argument("--n_iters", type=int, default=10001)
+    r.add_argument("--megastep", type=int, default=1,
+                   help="steps per dispatch; keep 1 at real scale (compile "
+                        "time scales with the traced UNet count)")
     r.add_argument("--skip_train", action="store_true")
     r.add_argument("--skip_render", action="store_true")
     r.set_defaults(fn=cmd_run)
