@@ -58,8 +58,9 @@ class HashGridConfig:
     # Encode algorithm for the fused path: "gen2" = transposed one-hot matmul
     # (linear in T, ops/pallas_hashgrid_t.py), "sorted" = sorted-slab gather
     # (T-independent matmuls + 3 lax.sorts, ops/pallas_hashgrid_s.py),
-    # "auto" = sorted iff log2_table_size >= MIN_SORTED_LOG2_T (the measured
-    # crossover — tools/bench_encode.py).
+    # "auto" = gen2 at every T: the sorted path wins the isolated kernel
+    # pair at 2^19 but LOSES the end-to-end train step 2x (sort cost does
+    # not overlap away — bench.py hashgrid_219_* rows, BASELINE.md r4).
     encode_mode: str = "auto"
 
     @property

@@ -64,20 +64,22 @@ W_LANES = 256          # slab window width in lanes (x64 entries/lane = 16384 en
                        # can prove divisibility, and the 2-tile window preserves the
                        # ">=128 lanes beyond the block's first query" coverage
 QBLK = 2048            # sorted queries per kernel block
-MIN_SORTED_LOG2_T = 17  # below this the gen-2 linear-in-T kernels are faster
+MIN_SORTED_LOG2_T = 17  # below this even the kernel PAIR loses to gen-2
 
 
 def sorted_encode_active(hcfg) -> bool:
     """Static dispatch: does this HashGridConfig ride the sorted-slab path?
 
-    "auto" engages it only at tcnn-capacity tables (>= 2^MIN_SORTED_LOG2_T),
-    where the gen-2 linear-in-T cost dominates the sort overhead."""
+    "auto" now always picks gen-2 (r4 measurement): the sorted-slab kernels
+    win the isolated fwd+bwd pair 2.0x at 2^19 (186.7 vs 378.5 ms), but the
+    END-TO-END 2^19 train step measures gen2 1163 rays/s vs sorted 625
+    (bench.py `hashgrid_219_*` rows) — the three `lax.sort` calls per
+    encode (~250 ms/step standalone, tools/bench_sort.py) do NOT overlap
+    away inside the full differentiated step. The sorted path stays
+    available via `encode_mode=sorted` (bit-exact vs gen-2) for workloads
+    where the encode share is larger (e.g. pure-encode inference)."""
     mode = getattr(hcfg, "encode_mode", "auto")
-    if mode == "sorted":
-        return True
-    if mode == "gen2":
-        return False
-    return hcfg.log2_table_size >= MIN_SORTED_LOG2_T
+    return mode == "sorted"
 
 
 def _corner_queries(x, res_arr, dense_arr, T):
