@@ -363,3 +363,32 @@ def test_full_size_mapping_is_complete():
     assert "decoder.up_blocks.3.resnets.0.conv_shortcut" in vnames
     tnames = [e[0] for e in weights.clip_text_mapping(tcfg)]
     assert "text_model.encoder.layers.11.mlp.fc2" in tnames
+
+
+def test_vae_encode_compute_dtype_bf16_differentiable():
+    """Production runs the frozen VAE encoder in bf16 (the reference loads
+    its SD pipe fp16, sd_utils.py:69-74). The bf16 path must be
+    differentiable (conv2d's transpose once rejected mixed f32/bf16
+    operand pairs) and its input-gradient must stay within bf16 noise of
+    the f32 path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvip_tpu.guidance.vae import VAEConfig, encode, init_vae
+
+    cfg = VAEConfig(block_channels=(8, 16), latent_channels=4, norm_groups=4)
+    p = init_vae(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+
+    def loss(x, cdt):
+        return encode(p, cfg, x, jax.random.PRNGKey(2),
+                      compute_dtype=cdt).sum()
+
+    g_bf16 = jax.grad(lambda x: loss(x, jnp.bfloat16))(x)
+    g_f32 = jax.grad(lambda x: loss(x, None))(x)
+    assert g_bf16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(g_bf16)).all()
+    rel = float(jnp.abs(g_bf16 - g_f32).mean()
+                / (jnp.abs(g_f32).mean() + 1e-9))
+    assert rel < 0.15, rel

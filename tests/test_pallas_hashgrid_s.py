@@ -140,3 +140,24 @@ def test_hash_train_render_sorted_matches_gen2():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    err_msg=str(pa))
+
+
+def test_auto_dispatch_prefers_gen2_at_every_table_size():
+    """r4 reversal (BASELINE.md): sorted wins the isolated kernel pair at
+    2^19 but LOSES the end-to-end train step 2x (bench.py hashgrid_219_*
+    rows), so `encode_mode=auto` must dispatch gen-2 at every T; `sorted`
+    stays an explicit opt-in."""
+    import dataclasses
+
+    from mvip_tpu.models.nerf_hashgrid import HashGridConfig
+    from mvip_tpu.ops.pallas_hashgrid_s import sorted_encode_active
+
+    for log2 in (14, 17, 19, 21):
+        cfg = HashGridConfig(log2_table_size=log2)
+        assert not sorted_encode_active(cfg), log2
+        assert not sorted_encode_active(
+            dataclasses.replace(cfg, encode_mode="gen2")
+        )
+        assert sorted_encode_active(
+            dataclasses.replace(cfg, encode_mode="sorted")
+        )
