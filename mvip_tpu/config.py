@@ -204,6 +204,16 @@ class Config:
                                              # far too coarse for LLFF scenes
                                              # whose rays span a few units
     occ_keep: float = 0.5                    # fraction of samples kept per stage
+    # Separate (tighter) keep rate for the GUIDANCE renders only (masked-view
+    # RGB, normal-map view, collaborative neighbors). Those renders feed SDS:
+    # their output is resized to the diffusion working resolution and noised
+    # to a random timestep before the score is taken, so they tolerate coarser
+    # ray quadrature than the reconstruction losses — and at ~136k rays/step
+    # on config-5 (vs N_rand=1024 base rays) they are >98% of the step's
+    # sample load, all running at the encode roofline (~0.33 us/point,
+    # BASELINE.md phase budget). 0 = inherit occ_keep (shipped default); base
+    # losses always use occ_keep, so reference-exact quadrature is unchanged.
+    occ_keep_guidance: float = 0.0
     occ_thresh: float = 1e-2                 # density above which a cell is occupied
     occ_update_every: int = 16               # refresh cadence (optimizer steps)
     occ_warmup: int = 256                    # unpruned steps while the grid fills

@@ -109,6 +109,7 @@ def build_guidance(cfg: Config):
         render_chunk=min(cfg.chunk, 8192),
         sds_render_factor=max(int(cfg.sds_render_factor), 1),
         fuse_guidance_renders=bool(cfg.fuse_guidance_renders),
+        occ_keep_guidance=float(cfg.occ_keep_guidance),
     )
     pair_rgb = jnp.concatenate([uncond, cond], 0)
     pair_nrm = jnp.concatenate([uncond, cond_n], 0)

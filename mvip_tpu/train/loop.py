@@ -714,6 +714,17 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
         if _fl_step and use_guidance:
             from mvip_tpu.utils.profiling import sds_call_flops
 
+            # guidance renders may prune harder (occ_keep_guidance): their
+            # per-ray flops use the guidance keep so MFU stays honest
+            _keep_g = (
+                cfg.occ_keep_guidance
+                if occ_cfg is not None and cfg.occ_keep_guidance > 0.0
+                else (occ_cfg.keep if occ_cfg is not None else 1.0)
+            )
+            _fl_ray_g = train_flops_per_ray(
+                exp.backbone, exp.model_cfg, cfg.N_samples, cfg.N_importance,
+                sample_keep=_keep_g,
+            )
             extra_rays = 0.0
             if mcfg.is_rgb_guidance:
                 extra_rays += (
@@ -740,7 +751,7 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                     gm.unet_cfg, gm.vae_cfg, s_col.latent_size,
                     mcfg.colla_n_views,
                 )
-            _fl_step += extra_rays * _fl_ray
+            _fl_step += extra_rays * _fl_ray_g
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
         metrics = None

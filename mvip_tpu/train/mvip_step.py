@@ -69,6 +69,9 @@ class MVIPConfig:
     # view's depth and the Nv colla neighbor views in one concatenated
     # dispatch instead of two (config.py `fuse_guidance_renders`).
     fuse_guidance_renders: bool = False
+    # >0: occupancy keep rate for the guidance renders only (base losses keep
+    # occ_cfg.keep). See config.py `occ_keep_guidance` for the rationale.
+    occ_keep_guidance: float = 0.0
 
 
 def composite_masked_render(gt, coords, count, rgb):
@@ -210,6 +213,15 @@ def make_mvip_train_step(
 
         coarse_fn, fine_fn = model_fns(params, coarse_apply, fine_apply)
 
+        # guidance renders may prune harder than the base losses (config.py
+        # `occ_keep_guidance`); occ_cfg_g is what EVERY pruner below is built
+        # from, so the shard_map slices agree with the single-device path
+        occ_cfg_g = occ_cfg
+        if occ_cfg is not None and mcfg.occ_keep_guidance > 0.0:
+            import dataclasses as _dc
+
+            occ_cfg_g = _dc.replace(occ_cfg, keep=mcfg.occ_keep_guidance)
+
         pruner = None
         if occ_cfg is not None and occ_grid is not None:
             from mvip_tpu.ops.occupancy import make_pruner
@@ -222,9 +234,9 @@ def make_mvip_train_step(
                 from mvip_tpu.ops.occupancy import pruner_quantum
 
                 q = pruner_quantum(fused_mlp_cfg)
-                pruner = make_pruner(occ_grid, occ_cfg, append=1, quantum=q)
+                pruner = make_pruner(occ_grid, occ_cfg_g, append=1, quantum=q)
             else:
-                pruner = make_pruner(occ_grid, occ_cfg)
+                pruner = make_pruner(occ_grid, occ_cfg_g)
 
         if fused_mlp_cfg is not None:
             from mvip_tpu.models.nerf_mlp import NeRFMLPConfig
@@ -294,7 +306,7 @@ def make_mvip_train_step(
                         if g:
                             from mvip_tpu.ops.occupancy import make_pruner
 
-                            pr = make_pruner(g[0], occ_cfg, append=1,
+                            pr = make_pruner(g[0], occ_cfg_g, append=1,
                                              quantum=q)
                         out = _hier(p, k, o, d, pr)
                         return {kk2: out[kk2] for kk2 in keep}

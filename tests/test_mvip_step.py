@@ -656,3 +656,73 @@ def test_mvip_step_fuse_guidance_renders_matches_unfused(key):
             continue
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow  # 3 jitted step variants (~80 s CPU): full suite only
+def test_mvip_step_occ_keep_guidance(key):
+    """`occ_keep_guidance` prunes the GUIDANCE renders harder while the base
+    losses keep occ_cfg.keep (config.py `occ_keep_guidance` — the config-5
+    throughput lever: guidance renders are >98% of the step's sample load).
+    Checks: (a) a value equal to occ_keep is bit-identical to inheriting,
+    (b) a tighter value changes the guidance losses but leaves the base
+    image loss untouched (same keys, same base pruner)."""
+    import dataclasses
+
+    from mvip_tpu.ops.occupancy import OccupancyConfig, dense_refresh, init_grid
+
+    images, masks, depths, poses, focal = _tiny_scene()
+    streams = DeviceStreams.from_host(
+        build_ray_streams(images, masks, depths, poses, focal)
+    )
+    H, W = images.shape[1:3]
+    mcfg_model = NeRFMLPConfig(depth=2, width=16, multires=2, multires_views=2)
+    params = {
+        "coarse": init_nerf_mlp(jax.random.PRNGKey(1), mcfg_model),
+        "fine": init_nerf_mlp(jax.random.PRNGKey(2), mcfg_model),
+    }
+    apply_fn = lambda p, pts, vd: apply_nerf_mlp(p, mcfg_model, pts, vd)
+
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg), ucfg, vcfg)
+    scfg_sds = SDSConfig(latent_size=16, compute_dtype=jnp.float32)
+    te = jax.random.normal(key, (2, 5, ucfg.cross_attention_dim))
+
+    ropts = RenderOptions(n_samples=16, n_importance=8, perturb=1.0,
+                          raw_noise_std=1.0)
+    scfg = StepConfig(n_rand=16, depth_loss=False, near=2.0, far=6.0,
+                      H=H, W=W, focal=focal)
+    occ_cfg = OccupancyConfig(res=16, bound=6.0, keep=0.5, thresh=1e-3,
+                              n_probe=16**3, warmup=0, mode="interval")
+    grid = dense_refresh(
+        init_grid(occ_cfg),
+        lambda pts: jnp.full(pts.shape[:-1], 1.0), key, occ_cfg, passes=4,
+    )
+    optimizer = make_optimizer(5e-3, 250)
+
+    def run(keep_g):
+        mcfg = MVIPConfig(
+            is_rgb_guidance=True, is_normal_guidance=True, normal_start=0,
+            normalmap_render_factor=2, normal_k=5, is_colla_guidance=False,
+            render_chunk=64, occ_keep_guidance=keep_g,
+        )
+        step = make_mvip_train_step(
+            scfg, ropts, apply_fn, apply_fn, optimizer, mcfg, gm,
+            scfg_sds, scfg_sds, scfg_sds, te, te, occ_cfg=occ_cfg,
+        )
+        state = create_train_state(jax.tree.map(jnp.copy, params), optimizer)
+        _, metrics = step(state, streams, key, jnp.asarray(5), grid)
+        return {k: float(v) for k, v in metrics.items()}
+
+    m_inherit = run(0.0)
+    m_same = run(occ_cfg.keep)     # same K -> identical program
+    m_tight = run(0.25)            # K 12 -> 6 on the fine ladder
+
+    for k in ("loss", "img_loss", "sds_rgb", "sds_normal"):
+        assert np.isfinite(m_inherit[k]), k
+        assert np.isfinite(m_tight[k]), k
+        np.testing.assert_allclose(m_same[k], m_inherit[k], rtol=0, atol=0,
+                                   err_msg=k)
+    # base render untouched by the guidance keep; guidance losses change
+    np.testing.assert_allclose(m_tight["img_loss"], m_inherit["img_loss"],
+                               rtol=0, atol=0)
+    assert m_tight["sds_rgb"] != m_inherit["sds_rgb"]
