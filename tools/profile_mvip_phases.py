@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--sds_render_factor", type=int, default=1)
     ap.add_argument("--fuse_guidance_renders", default="false")
+    ap.add_argument("--occ_keep_guidance", default="0")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +53,7 @@ def main():
     cfg = load_config(["--config", args.config,
                        "--sds_render_factor", str(args.sds_render_factor),
                        "--fuse_guidance_renders", args.fuse_guidance_renders,
+                       "--occ_keep_guidance", args.occ_keep_guidance,
                        "--megastep", "1"])
     exp = L.setup_experiment(cfg)
     occ_cfg = None
@@ -151,6 +153,7 @@ def main():
         ),
         "full_sec_per_step": round(full, 4),
         "sds_render_factor": args.sds_render_factor,
+        "occ_keep_guidance": args.occ_keep_guidance,
     }
     print(json.dumps(budget), flush=True)
 
