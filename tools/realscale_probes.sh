@@ -35,7 +35,7 @@ timeout 3600 python run.py --config configs/spinnerf_scene1_full.txt \
 
 # C. weights-day one-command rehearsal: short real-scale train from the
 #    synthesized tree -> testset render -> PSNR/LPIPS/FID emission.
-timeout 3600 python tools/weights_day.py run --sd_root /tmp/fake_weights \
+timeout 3600 python tools/weights_day.py run --sd_root /tmp/fake_weights/sd \
   --lpips_weights /tmp/fake_weights/lpips_vgg.pt \
   --inception_weights /tmp/fake_weights/pt_inception.pt \
   --n_iters 52 --expname s1_weights_day_r4 2>&1 | tee /tmp/wd_run.log

@@ -99,6 +99,41 @@ def _export_inception_sd(params):
     return sd
 
 
+def _write_fake_tokenizer(outdir):
+    """Minimal VALID byte-level CLIP tokenizer (vocab.json + merges.txt).
+
+    The real SD tree ships a BPE tokenizer dir; this image has no vocab
+    anywhere, so without one the weights-day `run` rehearsal would die at
+    `guidance.clip.tokenize` before ever reaching the TPU. A byte-alphabet
+    vocab (514 entries: bytes_to_unicode chars, their `</w>` forms, the two
+    specials) with zero merges is a valid CLIPTokenizer input that tokenizes
+    any prompt char-level; every id < 514 embeds fine in the 49408-row text
+    encoder. Real weights day replaces the whole tree, tokenizer included."""
+    bs = list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    alphabet = [chr(c) for c in cs]
+    vocab = {}
+    for ch in alphabet:
+        vocab.setdefault(ch, len(vocab))
+    for ch in alphabet:
+        vocab.setdefault(ch + "</w>", len(vocab))
+    for sp in ("<|startoftext|>", "<|endoftext|>"):
+        vocab[sp] = len(vocab)
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "vocab.json"), "w") as fh:
+        json.dump(vocab, fh)
+    with open(os.path.join(outdir, "merges.txt"), "w") as fh:
+        fh.write("#version: 0.2\n")
+    with open(os.path.join(outdir, "tokenizer_config.json"), "w") as fh:
+        json.dump({"model_max_length": 77}, fh)
+
+
 def _tree_allclose(a, b, atol=0.0):
     import jax
     import numpy as np
@@ -169,6 +204,16 @@ def cmd_dry(args):
     report["inception_params"] = _count(inc_src)
     print(f"[dry] wrote lpips ({report['lpips_params']:,}) + "
           f"inception ({report['inception_params']:,})")
+
+    # --- tokenizer: the run rehearsal needs sd/tokenizer to exist (no CLIP
+    # vocab ships in this image); see _write_fake_tokenizer
+    _write_fake_tokenizer(os.path.join(out, "sd", "tokenizer"))
+    from mvip_tpu.guidance.clip import tokenize
+
+    ids = tokenize(["a stone park bench"],
+                   os.path.join(out, "sd", "tokenizer"))
+    report["tokenizer_ids_shape"] = list(ids.shape)
+    print(f"[dry] wrote byte-level tokenizer (ids {ids.shape})")
 
     # --- round trip: re-import through the REAL gated loaders
     print("[dry] re-importing through load_sd_guidance/load_lpips_weights/"
