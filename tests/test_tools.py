@@ -208,3 +208,26 @@ def test_ssim_range_and_identity(rng):
     # smooth related images score high
     z = np.clip(x + 0.01 * rng.normal(size=x.shape).astype(np.float32), 0, 1)
     assert float(ssim(x, z)) > 0.9
+
+
+def test_weights_day_fake_tokenizer(tmp_path):
+    """weights_day dry writes a VALID minimal CLIP tokenizer (no vocab ships
+    in this image): CLIPTokenizer loads it, ids stay below the 514-entry
+    vocab (so they embed in any CLIP text encoder), padding reaches 77."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "weights_day", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "weights_day.py")
+    )
+    wd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wd)
+    tok_dir = tmp_path / "tokenizer"
+    wd._write_fake_tokenizer(str(tok_dir))
+
+    from mvip_tpu.guidance.clip import tokenize
+
+    ids = tokenize(["a stone park bench", ""], str(tok_dir))
+    assert ids.shape == (2, 77)
+    assert ids.min() >= 0 and ids.max() < 514
