@@ -21,7 +21,8 @@ timeout 3000 python tools/eval_testview.py \
   --hashgrid_log2 19 --no_occ_grid 2>&1 | tee /tmp/eval219.log
 
 # 2a. lever probe: phase budget at occ_keep_guidance=0.25 + f2 + fuse
-timeout 3000 python tools/profile_mvip_phases.py \
+# (5 fresh step-variant compiles: generous timeout)
+timeout 4800 python tools/profile_mvip_phases.py \
   --sds_render_factor 2 --fuse_guidance_renders true \
   --occ_keep_guidance 0.25 --iters 10 2>&1 | tee /tmp/phases_keepg.log
 
