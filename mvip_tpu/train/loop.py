@@ -565,9 +565,14 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 phase(f"guidance megastep selected ({guid_inner}/dispatch)")
             phase("guidance models resident (SDS on)")
             if occ_cfg is not None:
+                keep_g = (
+                    cfg.occ_keep_guidance
+                    if cfg.occ_keep_guidance > 0.0 else occ_cfg.keep
+                )
                 phase(
                     f"interval-occupancy pruning on guidance renders (keep "
-                    f"{occ_cfg.keep}, warmup {occ_cfg.warmup})"
+                    f"{occ_cfg.keep}, guidance keep {keep_g}, warmup "
+                    f"{occ_cfg.warmup})"
                 )
         if not use_guidance:
             from mvip_tpu.train.fused_step import (
