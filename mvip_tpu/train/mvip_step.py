@@ -502,6 +502,13 @@ def make_mvip_train_step(
         def step_fn(state, streams, key, i, occ_grid=None):
             return jitted(state, streams, key, i, occ_grid, _gm_arrays)
 
+        # AOT surface (tools/hbm_report.py): re-jitting step_fn from outside
+        # would trace through it and re-bake _gm_arrays as constants of the
+        # OUTER program — the exact 3.58 GB real-scale defect the argument
+        # threading exists to prevent. Expose the inner jitted program and
+        # the array bundle so AOT tooling lowers the trainer's own program.
+        step_fn.jitted = jitted
+        step_fn.gm_arrays = _gm_arrays
         return step_fn
 
     # Guidance megastep: `lax.scan` n_inner full MVIP steps per dispatch.
@@ -524,4 +531,6 @@ def make_mvip_train_step(
     def scan_fn(state, streams, key, i0, occ_grid=None):
         return jitted_scan(state, streams, key, i0, occ_grid, _gm_arrays)
 
+    scan_fn.jitted = jitted_scan  # see step_fn.jitted above
+    scan_fn.gm_arrays = _gm_arrays
     return scan_fn

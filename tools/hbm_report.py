@@ -90,17 +90,18 @@ def main(argv=None):
     streams_dev = DeviceStreams.from_host(exp.streams)
     key = jax.random.PRNGKey(0)
 
-    # Outer jit inlines the step's inner jit, reproducing the trainer's
-    # one-program dispatch; donate state exactly as the trainer does.
-    if occ_cfg is not None:
-        fn = lambda st, sd, k, i, g: step(st, sd, k, i, g)  # noqa: E731
-        args = (state, streams_dev, key, jnp.asarray(700), grid)
-    else:
-        fn = lambda st, sd, k, i: step(st, sd, k, i)  # noqa: E731
-        args = (state, streams_dev, key, jnp.asarray(700))
+    # Lower the trainer's OWN inner jitted program (step.jitted) with the
+    # guidance arrays as ARGUMENTS. Wrapping `step` in an outer jit instead
+    # would trace through it and re-bake the arrays as constants of the
+    # outer program — at real scale that re-creates the 3.58 GB
+    # baked-constants defect this report exists to rule out, and the outer
+    # program would not share the compile cache with run.py's dispatch.
+    occ_arg = grid if occ_cfg is not None else None
+    args = (state, streams_dev, key, jnp.asarray(700), occ_arg,
+            step.gm_arrays)
 
     t0 = time.perf_counter()
-    lowered = jax.jit(fn, donate_argnums=(0,)).lower(*args)
+    lowered = step.jitted.lower(*args)
     t_lower = time.perf_counter() - t0
     compiled = lowered.compile()
     t_compile = time.perf_counter() - t0 - t_lower
