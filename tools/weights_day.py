@@ -281,7 +281,8 @@ def cmd_run(args):
              "--expname", args.expname, "--basedir", args.basedir,
              "--sd_weights", args.sd_root, "--N_iters", str(args.n_iters),
              "--occ_grid", "true", "--i_weights", "500", "--ckpt_keep", "100",
-             "--megastep", str(args.megastep)])
+             "--megastep", str(args.megastep),
+             "--compute_dtype", args.compute_dtype])
 
     # phase 2: render the held-out testset from the final checkpoint
     if not args.skip_render:
@@ -377,6 +378,12 @@ def main():
                         "time scales with the traced UNet count)")
     r.add_argument("--skip_train", action="store_true")
     r.add_argument("--skip_render", action="store_true")
+    r.add_argument("--compute_dtype", default="bfloat16",
+                   help="VAE-encode conv dtype. bfloat16 is the default "
+                        "because (a) the reference pipe runs fp16 "
+                        "(sd_utils.py fp16 UNet/VAE) and (b) the f32 "
+                        "batch-Nv colla VAE-encode VJP does not fit v5e "
+                        "16 GB HBM at 512^2 (measured r4, BASELINE.md)")
     r.set_defaults(fn=cmd_run)
 
     args = ap.parse_args()
