@@ -170,12 +170,18 @@ def _use_flash_attention(is_self: bool, mask, Tq: int, Tk: int, dh: int) -> bool
     )
 
 
+# Materialized-logits budget above which `attention` auto-chunks its query
+# axis (see the comment at the chunking site). Override: MVIP_ATTN_LOGITS_BYTES.
+_ATTN_LOGITS_BUDGET = int(os.environ.get("MVIP_ATTN_LOGITS_BYTES", 1 << 30))
+
+
 def attention(
     p: Params,
     x: jnp.ndarray,                       # [B, Tq, C]
     context: Optional[jnp.ndarray] = None,  # [B, Tk, Cc]
     heads: int = 8,
     mask: Optional[jnp.ndarray] = None,   # [Tq, Tk] additive
+    q_chunk: Optional[int] = None,        # tests/debug: force a chunk size
 ) -> jnp.ndarray:
     is_self = context is None
     context = x if context is None else context
@@ -195,6 +201,46 @@ def attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), sm_scale=1.0 / math.sqrt(dh),
         ).transpose(0, 2, 1, 3)
+        return linear(p["o"], out.reshape(B, Tq, inner).astype(x.dtype))
+    if q_chunk is None and B * heads * Tq * Tk * 4 > _ATTN_LOGITS_BUDGET:
+        # Auto-engage query chunking when the materialized f32 logits would
+        # exceed the budget (default 1 GB, env MVIP_ATTN_LOGITS_BYTES). The
+        # batch-10 colla CFG UNet at real SD scale hits f32[10,8,4096,4096]
+        # = 5 GB on its 64x64 self-attention — the single allocation that
+        # OOMs a 16 GB v5e (measured r4, BASELINE.md). torch never
+        # materializes this either (diffusers sliced attention / sdpa);
+        # this is the XLA analog: softmax is independent per query row, so
+        # chunk the queries and remat each chunk. dh=40 makes the Pallas
+        # flash kernel a refuted shape here (_use_flash_attention).
+        q_chunk = max(
+            128,
+            _ATTN_LOGITS_BUDGET // max(B * heads * Tk * 4, 1) // 128 * 128,
+        )
+    if q_chunk is not None and q_chunk < Tq:
+        nc = -(-Tq // q_chunk)
+        qp = (jnp.concatenate(
+            [q, jnp.zeros((B, nc * q_chunk - Tq, heads, dh), q.dtype)], 1)
+            if nc * q_chunk > Tq else q)
+        qs = jnp.moveaxis(
+            qp.reshape(B, nc, q_chunk, heads, dh), 1, 0)  # [nc, B, CH, H, D]
+        ms = (None if mask is None else jnp.concatenate(
+            [mask, jnp.zeros((nc * q_chunk - mask.shape[0], Tk), mask.dtype)]
+        ).reshape(nc, q_chunk, Tk))
+
+        @jax.checkpoint
+        def _chunk(args):
+            qc, mc = args
+            lg = jnp.einsum("bqhd,bkhd->bhqk", qc, k,
+                            preferred_element_type=jnp.float32) / math.sqrt(dh)
+            if mc is not None:
+                lg = lg + mc
+            wc = jax.nn.softmax(lg.astype(jnp.float32), -1).astype(v.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", wc, v,
+                              preferred_element_type=jnp.float32)
+
+        out = jax.lax.map(_chunk, (qs, ms))          # [nc, B, CH, H, D]
+        out = jnp.moveaxis(out, 0, 1).reshape(B, nc * q_chunk, heads, dh)
+        out = out[:, :Tq]
         return linear(p["o"], out.reshape(B, Tq, inner).astype(x.dtype))
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(dh)

@@ -392,3 +392,27 @@ def test_vae_encode_compute_dtype_bf16_differentiable():
     rel = float(jnp.abs(g_bf16 - g_f32).mean()
                 / (jnp.abs(g_f32).mean() + 1e-9))
     assert rel < 0.15, rel
+
+
+def test_attention_query_chunking_matches():
+    """Query-chunked attention (the memory path for the batch-10 colla CFG
+    UNet at real SD scale — f32[10,8,4096,4096] logits OOM a 16 GB v5e)
+    matches the materialized path to float-fusion noise, with and without an
+    additive mask, values and grads (softmax is independent per query row;
+    remat per chunk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvip_tpu.guidance.layers import attention, attn_init
+
+    key = jax.random.PRNGKey(3)
+    p = attn_init(key, 64, 8, 8)
+    x = jax.random.normal(key, (3, 100, 64))
+    m = jnp.where(jnp.tril(jnp.ones((100, 100))) > 0, 0.0, -1e9)
+    for mask in (None, m):
+        a = attention(p, x, heads=8, mask=mask)
+        b = attention(p, x, heads=8, mask=mask, q_chunk=32)
+        assert float(jnp.abs(a - b).max()) < 1e-6
+    g1 = jax.grad(lambda xx: attention(p, xx, heads=8).sum())(x)
+    g2 = jax.grad(lambda xx: attention(p, xx, heads=8, q_chunk=32).sum())(x)
+    assert float(jnp.abs(g1 - g2).max()) < 1e-6
