@@ -172,7 +172,10 @@ def _use_flash_attention(is_self: bool, mask, Tq: int, Tk: int, dh: int) -> bool
 
 # Materialized-logits budget above which `attention` auto-chunks its query
 # axis (see the comment at the chunking site). Override: MVIP_ATTN_LOGITS_BYTES.
-_ATTN_LOGITS_BUDGET = int(os.environ.get("MVIP_ATTN_LOGITS_BYTES", 1 << 30))
+# 512 MB (not 1 GB): at 1 GB the config-5 real-scale step still missed v5e
+# HBM by 31 MB (15.78/15.75 measured r4) — the 768-row chunk's f32
+# [10,8,768,4096] buffer was 960 MB; 384-row chunks leave ~450 MB margin.
+_ATTN_LOGITS_BUDGET = int(os.environ.get("MVIP_ATTN_LOGITS_BYTES", 1 << 29))
 
 
 def attention(
