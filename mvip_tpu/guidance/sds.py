@@ -120,6 +120,12 @@ def _prep_image_mask(image, mask, size: int, normalize: bool):
     return img, m
 
 
+# Input-pixel threshold above which multi-view VAE encodes run per-view
+# (see _encode_latents). 512^2 = the real-SD working resolution; tiny-stack
+# tests (128^2 inputs) stay on the batched path.
+_VAE_CHUNK_MIN_PIXELS = 512 * 512
+
+
 def _encode_latents(key, gm: GuidanceModels, img, masked_img,
                     compute_dtype=None):
     """VAE-encode image (grad ON) and masked image (grad OFF, UNet input only).
@@ -129,6 +135,32 @@ def _encode_latents(key, gm: GuidanceModels, img, masked_img,
     guidance net and dominates the colla phase at batch 10 x 512^2 when run
     f32 (tools/probe_colla_cost.py)."""
     k1, k2 = jax.random.split(key)
+    B = img.shape[0]
+    if B > 1 and img.shape[1] * img.shape[2] >= _VAE_CHUNK_MIN_PIXELS:
+        # Per-view encode for large multi-view batches (the colla branch at
+        # real SD scale): the batch-B 512^2 encoder VJP keeps ~1.3 GB of
+        # activation temps live (f32[5,262144,32,4]-class buffers, measured
+        # r4 OOM dump) — lax.map + remat bounds that to one view's worth.
+        # Stochastic draws use per-view keys, so values differ from the
+        # batched path in the sample noise only (same distribution — the
+        # same contract as fuse_guidance_renders' regrouped PRNG streams);
+        # tiny-stack tests stay on the batched path (<512^2 inputs).
+        ks1 = jax.random.split(k1, B)
+        ks2 = jax.random.split(k2, B)
+
+        @jax.checkpoint
+        def _one(args):
+            im, mi, ka, kb = args
+            z = vae_mod.encode(gm.vae_params, gm.vae_cfg, im[None], ka,
+                               sample=True, compute_dtype=compute_dtype)
+            mz = jax.lax.stop_gradient(
+                vae_mod.encode(gm.vae_params, gm.vae_cfg, mi[None], kb,
+                               sample=True, compute_dtype=compute_dtype)
+            )
+            return z[0], mz[0]
+
+        z0, masked_z = jax.lax.map(_one, (img, masked_img, ks1, ks2))
+        return z0, jax.lax.stop_gradient(masked_z)
     z0 = vae_mod.encode(gm.vae_params, gm.vae_cfg, img, k1, sample=True,
                         compute_dtype=compute_dtype)
     masked_z = jax.lax.stop_gradient(

@@ -416,3 +416,32 @@ def test_attention_query_chunking_matches():
     g1 = jax.grad(lambda xx: attention(p, xx, heads=8).sum())(x)
     g2 = jax.grad(lambda xx: attention(p, xx, heads=8, q_chunk=32).sum())(x)
     assert float(jnp.abs(g1 - g2).max()) < 1e-6
+
+
+@pytest.mark.slow  # lax.map VAE encode compiles ~1 min on CPU: full suite only
+def test_encode_latents_view_chunked_path(key, monkeypatch):
+    """Large multi-view batches encode per-view under lax.map + remat (the
+    colla real-scale memory path); gradients flow and shapes match the
+    batched contract. The pixel threshold is monkeypatched down so the test
+    runs at tiny shapes."""
+    from mvip_tpu.guidance import sds as sds_mod
+
+    monkeypatch.setattr(sds_mod, "_VAE_CHUNK_MIN_PIXELS", 32 * 32)
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    gm = make_guidance_models(init_unet(key, ucfg), init_vae(key, vcfg),
+                              ucfg, vcfg)
+    img = jax.random.uniform(key, (3, 32, 32, 3))
+    d = vcfg.downscale
+
+    def f(im):
+        z0, mz = sds_mod._encode_latents(key, gm, im, im * 0.5)
+        assert z0.shape == mz.shape == (3, 32 // d, 32 // d, vcfg.latent_channels)
+        return z0.sum()
+
+    v, g = jax.value_and_grad(f)(img)
+    assert jnp.isfinite(v) and float(jnp.abs(g).sum()) > 0.0
+
+    # below the threshold the batched path serves (shape contract identical)
+    monkeypatch.setattr(sds_mod, "_VAE_CHUNK_MIN_PIXELS", 512 * 512)
+    z0, mz = sds_mod._encode_latents(key, gm, img, img * 0.5)
+    assert z0.shape == (3, 32 // d, 32 // d, vcfg.latent_channels)
