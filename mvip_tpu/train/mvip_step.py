@@ -191,8 +191,17 @@ def make_mvip_train_step(
     # serialized program. Only the array halves ride the argument list;
     # the static halves (configs, step bounds) stay closure-bound and the
     # NamedTuple is rebuilt inside the trace.
-    _gm_arrays = (gm.unet_params, gm.vae_params, gm.alphas_cumprod,
-                  text_pair_rgb, text_pair_normal)
+    # Device-pin the bundle ONCE: checkpoint-loaded guidance weights arrive
+    # as host numpy trees (guidance/weights.load_sd_guidance), and numpy
+    # arguments re-transfer on EVERY dispatch — at real SD scale that ships
+    # 3.6 GB through the tunnel per step (measured r4: the weights-day
+    # rehearsal crawled at >30 s/step until this pin). jnp.asarray is a
+    # no-op for arrays already on device (sd_size=real init path).
+    _gm_arrays = jax.tree.map(
+        jnp.asarray,
+        (gm.unet_params, gm.vae_params, gm.alphas_cumprod,
+         text_pair_rgb, text_pair_normal),
+    )
     _gm_static = (gm.unet_cfg, gm.vae_cfg, gm.min_step, gm.max_step)
     del gm, text_pair_rgb, text_pair_normal  # nothing below may capture them
 
