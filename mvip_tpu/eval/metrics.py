@@ -158,11 +158,18 @@ _inception_features._cache = {}
 
 
 def fid(pred: np.ndarray, gt: np.ndarray):
-    """FID between two image sets; None when no feature extractor is available."""
+    """FID between two image sets.
+
+    Returns (value, reason): value is None when unavailable, with `reason`
+    "no weights" (no Inception extractor configured) or "needs >=2 images"
+    (the feature covariance is undefined for a single view — e.g. scene 1's
+    one-view held-out split)."""
     fp = _inception_features(pred)
     fg = _inception_features(gt)
-    if fp is None or fg is None or len(fp) < 2:
-        return None
+    if fp is None or fg is None:
+        return None, "no weights"
+    if len(fp) < 2:
+        return None, "needs >=2 images"
     return frechet_distance(
         fp.mean(0), np.cov(fp, rowvar=False), fg.mean(0), np.cov(fg, rowvar=False)
-    )
+    ), ""

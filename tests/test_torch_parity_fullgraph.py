@@ -763,9 +763,11 @@ def test_fid_gated_on_local_weights(rng, tmp_path, monkeypatch):
 
     pred = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
     gt = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
-    d = metrics.fid(pred, gt)
+    d, _ = metrics.fid(pred, gt)
     # 3 samples in 2048-d makes the covariances rank-2; the clamped-eig
     # sqrt can go slightly negative in that degenerate regime
     assert d is not None and np.isfinite(d) and d > -1e-2
-    same = metrics.fid(pred, pred.copy())
+    same, _ = metrics.fid(pred, pred.copy())
     assert same is not None and abs(same) < 1e-3
+    single, reason = metrics.fid(pred[:1], gt[:1])
+    assert single is None and reason == "needs >=2 images"

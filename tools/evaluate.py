@@ -109,7 +109,7 @@ def _evaluate_pair(pred_path, gt_path, args):
             if lp is not None:
                 lpipss.append(lp)
 
-    fid_val = fid(
+    fid_val, fid_reason = fid(
         np.stack(preds[:n]).astype(np.float32), np.stack(gts[:n]).astype(np.float32)
     )
 
@@ -131,7 +131,8 @@ def _evaluate_pair(pred_path, gt_path, args):
         f"PSNR  {np.mean(psnrs):.4f}",
         f"SSIM  {np.mean(ssims):.4f}",
         f"LPIPS {np.mean(lpipss):.4f}" if lpipss else "LPIPS n/a (no weights)",
-        f"FID   {fid_val:.4f}" if fid_val is not None else "FID   n/a (no weights)",
+        f"FID   {fid_val:.4f}" if fid_val is not None
+        else f"FID   n/a ({fid_reason})",
     ]
     if d_l1 is not None:
         lines += [f"depth L1 {d_l1:.5f}", f"depth L2 {d_l2:.5f}"]

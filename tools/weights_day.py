@@ -292,9 +292,15 @@ def cmd_run(args):
 
     # phase 3: dump GT pngs + evaluate PSNR/LPIPS/FID (reference
     # evaluation.py:52-54 metric set) on the newest testset tree
-    testsets = sorted(d for d in os.listdir(expdir) if d.startswith("testset_"))
+    # phase 2 writes renderonly_test_<step>/ (the --render_only --render_test
+    # tree); in-train i_testset renders write testset_<step>/ — accept both
+    testsets = sorted(
+        d for d in os.listdir(expdir)
+        if d.startswith(("testset_", "renderonly_test_"))
+        and os.path.isdir(os.path.join(expdir, d, "rgb"))
+    )
     if not testsets:
-        raise SystemExit(f"no testset_* dir under {expdir}")
+        raise SystemExit(f"no testset_*/renderonly_test_* dir under {expdir}")
     pred = os.path.join(expdir, testsets[-1], "rgb")
 
     gt_dir = os.path.join(expdir, "gt_test")
