@@ -119,7 +119,12 @@ def _inception_features(images: np.ndarray):
     import os
 
     wpath = os.environ.get("MVIP_INCEPTION_WEIGHTS", "")
-    if wpath and os.path.exists(wpath):
+    if wpath and not os.path.exists(wpath):
+        # a configured-but-missing weights file must not silently downgrade
+        # to "no weights" — that hid the r4 weights-day FID wiring gap
+        raise FileNotFoundError(
+            f"MVIP_INCEPTION_WEIGHTS={wpath} does not exist")
+    if wpath:
         from mvip_tpu.eval import inception_jax as inc
 
         cached = _inception_features._cache.get("jax")

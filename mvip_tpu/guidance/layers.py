@@ -207,7 +207,8 @@ def attention(
         return linear(p["o"], out.reshape(B, Tq, inner).astype(x.dtype))
     if q_chunk is None and B * heads * Tq * Tk * 4 > _ATTN_LOGITS_BUDGET:
         # Auto-engage query chunking when the materialized f32 logits would
-        # exceed the budget (default 1 GB, env MVIP_ATTN_LOGITS_BYTES). The
+        # exceed the budget (default 512 MB — see _ATTN_LOGITS_BUDGET; env
+        # MVIP_ATTN_LOGITS_BYTES overrides). The
         # batch-10 colla CFG UNet at real SD scale hits f32[10,8,4096,4096]
         # = 5 GB on its 64x64 self-attention — the single allocation that
         # OOMs a 16 GB v5e (measured r4, BASELINE.md). torch never
@@ -215,6 +216,11 @@ def attention(
         # this is the XLA analog: softmax is independent per query row, so
         # chunk the queries and remat each chunk. dh=40 makes the Pallas
         # flash kernel a refuted shape here (_use_flash_attention).
+        # Floor of 128 query rows: with Tq <= 128 the guard never engages,
+        # and a B*heads*Tk so large that even a 128-row chunk exceeds the
+        # budget still goes through at 128 rows. Both are out of range for
+        # SD shapes (self-attn Tq=Tk>=1024, cross-attn Tk=77) — the floor
+        # keeps the chunk MXU-friendly rather than guaranteeing the budget.
         q_chunk = max(
             128,
             _ATTN_LOGITS_BUDGET // max(B * heads * Tk * 4, 1) // 128 * 128,

@@ -262,6 +262,26 @@ def cmd_run(args):
 
     expdir = os.path.join(args.basedir, args.expname)
 
+    # Default the metric weights to the siblings of --sd_root (the layout
+    # `dry` synthesizes, and the natural layout for real weight drops). The
+    # r4 rehearsal ran without --inception_weights and the FID path silently
+    # degraded to "n/a (no weights)" — the exact wiring gap VERDICT r4
+    # missing #2 flagged. A configured-but-missing path is now a hard error
+    # instead of a silent downgrade.
+    wroot = os.path.dirname(os.path.abspath(args.sd_root))
+    for attr, fname in (("lpips_weights", "lpips_vgg.pt"),
+                       ("inception_weights", "pt_inception.pt")):
+        if not getattr(args, attr):
+            cand = os.path.join(wroot, fname)
+            if os.path.exists(cand):
+                print(f"[run] defaulting --{attr} to {cand}")
+                setattr(args, attr, cand)
+        elif not os.path.exists(getattr(args, attr)):
+            raise SystemExit(
+                f"--{attr} {getattr(args, attr)} does not exist — refusing "
+                f"to run a weights-day rehearsal that would silently skip "
+                f"its metric")
+
     # phase 0: verify every weight file imports before spending TPU time
     print("[run] phase 0: verifying weight imports (CPU)...")
     verify = [sys.executable, os.path.join(REPO, "tools", "weights_day.py"),
@@ -293,11 +313,19 @@ def cmd_run(args):
     # phase 3: dump GT pngs + evaluate PSNR/LPIPS/FID (reference
     # evaluation.py:52-54 metric set) on the newest testset tree
     # phase 2 writes renderonly_test_<step>/ (the --render_only --render_test
-    # tree); in-train i_testset renders write testset_<step>/ — accept both
+    # tree); in-train i_testset renders write testset_<step>/ — accept both,
+    # ranked by (step, renderonly-preferred): a plain lexicographic sort made
+    # any stale in-train testset_* outrank the fresh renderonly_test_* tree
+    # phase 2 just produced ('t' > 'r' — ADVICE r4)
+    def _tree_rank(d):
+        step = int(d.rsplit("_", 1)[-1]) if d.rsplit("_", 1)[-1].isdigit() else -1
+        return (step, d.startswith("renderonly_test_"))
+
     testsets = sorted(
-        d for d in os.listdir(expdir)
-        if d.startswith(("testset_", "renderonly_test_"))
-        and os.path.isdir(os.path.join(expdir, d, "rgb"))
+        (d for d in os.listdir(expdir)
+         if d.startswith(("testset_", "renderonly_test_"))
+         and os.path.isdir(os.path.join(expdir, d, "rgb"))),
+        key=_tree_rank,
     )
     if not testsets:
         raise SystemExit(f"no testset_*/renderonly_test_* dir under {expdir}")
