@@ -168,6 +168,8 @@ class Config:
                                              # (19 tcnn-parity; 15 for hashgrid_fused — the
                                              # fused-MXU encode needs <= 16)
     hashgrid_fused_dtype: str = "float32"    # fused encode matmul dtype (bfloat16 = tcnn-fp16-like)
+    mlp_fused_dtype: str = "float32"         # fused MLP train-kernel matmul/activation dtype
+                                             # (bfloat16 = tcnn-fp16-like, f32 accumulate)
     hashgrid_encode: str = "auto"            # fused encode algorithm: auto | gen2 | sorted
                                              # (sorted = T-independent sorted-slab gather,
                                              # engages at log2 >= 17 under auto)

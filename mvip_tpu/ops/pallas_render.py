@@ -44,7 +44,11 @@ def _pe(x, num_freqs):
 
 
 def _dense(p, x):
-    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+    # weight rides the activation dtype (bf16 compute mode feeds bf16 x;
+    # mixed bf16xf32 would promote the dot back to f32). Accumulation is
+    # always f32 via preferred_element_type; the cast is a no-op for f32 x.
+    return jnp.dot(x, p["w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32) + p["b"]
 
 
 def _render_kernel(ro_ref, rd_ref, z_ref, noise_ref, *param_refs, rgb_ref,

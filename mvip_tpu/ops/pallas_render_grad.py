@@ -49,25 +49,32 @@ from mvip_tpu.ops.pallas_render import (
 )
 
 
-def _forward_mlp(params, cfg, pts, vd_pts, save):
-    """Forward through the PE-MLP, optionally recording layer inputs + masks."""
-    x = _pe(pts, cfg.multires)
+def _forward_mlp(params, cfg, pts, vd_pts, save, dtype=jnp.float32):
+    """Forward through the PE-MLP, optionally recording layer inputs + masks.
+
+    `dtype` is the matmul-operand/activation compute dtype (the bf16 mode of
+    VERDICT r4 next #3 — the reference's own default is an fp16 FullyFusedMLP,
+    `DS_NeRF/run_nerf_helpers_tcnn.py:48-60`). Accumulation stays f32
+    (`preferred_element_type` in `_dense`); the PE trig, compositing, and loss
+    math stay f32 regardless. Saved activations are stored in `dtype`, which
+    halves the backward kernel's VMEM residency in bf16."""
+    x = _pe(pts, cfg.multires).astype(dtype)
     h = x
     for i, layer in enumerate(params["pts"]):
         if save is not None:
             save["in_pts"].append(h)
         pre = _dense(layer, h)
-        h = jax.nn.relu(pre)
+        h = jax.nn.relu(pre).astype(dtype)
         if save is not None:
             save["mask_pts"].append(pre > 0)
         if i in cfg.skips:
             h = jnp.concatenate([x, h], -1)
     sigma_raw = _dense(params["alpha"], h)[:, 0]
-    feat = _dense(params["feature"], h)
-    v = _pe(vd_pts, cfg.multires_views)
+    feat = _dense(params["feature"], h).astype(dtype)
+    v = _pe(vd_pts, cfg.multires_views).astype(dtype)
     h2_in = jnp.concatenate([feat, v], -1)
     pre2 = _dense(params["views"], h2_in)
-    h2 = jax.nn.relu(pre2)
+    h2 = jax.nn.relu(pre2).astype(dtype)
     rgb_raw = _dense(params["rgb"], h2)
     if save is not None:
         save["x"] = x

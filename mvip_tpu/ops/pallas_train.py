@@ -153,14 +153,18 @@ def accum_ref(ref, val, first):
         ref[:] = ref[:] + val
 
 
-def dense_bwd_prec(p, h_in, g_out, precision=None):
+def dense_bwd_prec(p, h_in, g_out, precision=None, dtype=jnp.float32):
     """Dense-layer backward: (dW, db, d_input). DEFAULT matmul precision
-    matches XLA autodiff; HIGHEST costs ~3x MXU throughput."""
-    g_w = jax.lax.dot_general(h_in, g_out, (((0,), (0,)), ((), ())),
+    matches XLA autodiff; HIGHEST costs ~3x MXU throughput. `dtype` is the
+    matmul-operand dtype (bf16 compute mode); grads accumulate f32."""
+    g_out_c = g_out.astype(dtype)
+    g_w = jax.lax.dot_general(h_in.astype(dtype), g_out_c,
+                              (((0,), (0,)), ((), ())),
                               precision=precision,
                               preferred_element_type=jnp.float32)
     g_b = jnp.sum(g_out, 0)
-    g_in = jax.lax.dot_general(g_out, p["w"], (((1,), (1,)), ((), ())),
+    g_in = jax.lax.dot_general(g_out_c, p["w"].astype(dtype),
+                               (((1,), (1,)), ((), ())),
                                precision=precision,
                                preferred_element_type=jnp.float32)
     return g_w, g_b, g_in
@@ -168,7 +172,8 @@ def dense_bwd_prec(p, h_in, g_out, precision=None):
 
 def _train_kernel(ro_ref, rd_ref, z_ref, noise_ref, trgb_ref, tdisp_ref,
                   tdepth_ref, srgb_ref, sdisp_ref, sdepth_ref, *refs,
-                  cfg: NeRFMLPConfig, white_bkgd: bool, names, n_params: int):
+                  cfg: NeRFMLPConfig, white_bkgd: bool, names, n_params: int,
+                  compute_dtype=jnp.float32):
     param_refs = refs[:n_params]
     weights_ref = refs[n_params]
     sq_refs = refs[n_params + 1]          # [1, 128]: loss sums in lanes 0..2
@@ -187,7 +192,8 @@ def _train_kernel(ro_ref, rd_ref, z_ref, noise_ref, trgb_ref, tdisp_ref,
     vd_pts = jnp.broadcast_to(vd[:, None, :], (R, S, 3)).reshape(P, 3)
 
     save = {"in_pts": [], "mask_pts": []}
-    sigma_raw, rgb_raw = _forward_mlp(params, cfg, pts, vd_pts, save)
+    sigma_raw, rgb_raw = _forward_mlp(params, cfg, pts, vd_pts, save,
+                                      dtype=compute_dtype)
 
     sigma_noisy = sigma_raw.reshape(R, S) + noise
     sigma = jax.nn.relu(sigma_noisy)
@@ -223,7 +229,7 @@ def _train_kernel(ro_ref, rd_ref, z_ref, noise_ref, trgb_ref, tdisp_ref,
         # DEFAULT matmul precision: XLA's autodiff uses it too, and HIGHEST
         # (6-pass fp32 emulation) costs ~3x MXU throughput — only the tiny
         # [S, S] compositing triangulars keep HIGHEST (composite_fwd/_bwd)
-        return dense_bwd_prec(p, h_in, g_out)
+        return dense_bwd_prec(p, h_in, g_out, dtype=compute_dtype)
 
     gw, gb, g_h2 = dense_bwd(params["rgb"], save["h2"], g_rgb_raw)
     accum(("rgb",), gw, gb)
@@ -252,7 +258,7 @@ def _train_kernel(ro_ref, rd_ref, z_ref, noise_ref, trgb_ref, tdisp_ref,
 
 
 @partial(jax.jit, static_argnames=("cfg", "white_bkgd", "block_rays",
-                                   "interpret"))
+                                   "interpret", "compute_dtype"))
 def fused_train_render_grads(
     params,
     cfg: NeRFMLPConfig,
@@ -269,12 +275,19 @@ def fused_train_render_grads(
     white_bkgd: bool = False,
     block_rays: int = 16,
     interpret: bool = False,
+    compute_dtype: str = "float32",
 ) -> Tuple[Dict[str, jnp.ndarray], dict]:
     """One fused render+loss+backward pass for the PE-MLP backbone.
 
     Returns ({weights [R,S], sq_rgb, sq_disp, sq_depth}, param-grads pytree).
     The sq_* are the loss SUMS as defined by the scale arrays (already
     normalized when s = 1/n); total loss = sq_rgb + sq_disp + sq_depth.
+
+    `compute_dtype="bfloat16"` runs the MLP matmuls (fwd + bwd) on bf16
+    operands with f32 accumulation and stores saved activations in bf16 —
+    the TPU analog of the reference's default fp16 FullyFusedMLP
+    (`DS_NeRF/run_nerf_helpers_tcnn.py:48-60`). Compositing, loss math, and
+    gradient accumulation stay f32.
     """
     N, S = z_vals.shape
     blk = min(block_rays, N)
@@ -303,7 +316,8 @@ def fused_train_render_grads(
     w_specs = [const_spec(l) for l in leaves]
 
     kern = partial(_train_kernel, cfg=cfg, white_bkgd=white_bkgd, names=names,
-                   n_params=len(leaves))
+                   n_params=len(leaves),
+                   compute_dtype=jnp.dtype(compute_dtype))
     out_shapes = (
         jax.ShapeDtypeStruct((n_blocks * blk, S), jnp.float32),   # weights
         jax.ShapeDtypeStruct((1, 128), jnp.float32),              # loss sums

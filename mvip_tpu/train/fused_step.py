@@ -94,9 +94,14 @@ def make_fused_train_step(
     mesh=None,
     n_devices: int = 1,
     occ_cfg=None,
+    compute_dtype: str = "float32",
 ):
     """Build the fused (state, streams, key[, occ_grid]) -> (state, metrics)
     step.
+
+    `compute_dtype="bfloat16"` (PE-MLP backbone only) runs the megakernels'
+    MLP matmuls on bf16 operands with f32 accumulation — see
+    `ops/pallas_train.fused_train_render_grads`.
 
     With `occ_cfg` (an interval-mode `ops/occupancy.OccupancyConfig`) the
     step accepts a trailing `occ_grid` array and prunes BOTH stages' ladders
@@ -116,7 +121,10 @@ def make_fused_train_step(
     all-reduce with `psum` over ICI — the Pallas equivalent of the XLA
     step's sharding-constraint data parallelism."""
     if isinstance(mcfg, NeRFMLPConfig):
-        render_grads = fused_train_render_grads
+        render_grads = (
+            partial(fused_train_render_grads, compute_dtype=compute_dtype)
+            if compute_dtype != "float32" else fused_train_render_grads
+        )
     else:
         from mvip_tpu.ops.pallas_hash_train import hash_fused_render_grads
 
@@ -339,12 +347,13 @@ def make_fused_train_scan(
     mesh=None,
     n_devices: int = 1,
     occ_cfg=None,
+    compute_dtype: str = "float32",
 ):
     """Megastep variant: lax.scan of n_inner fused steps per dispatch."""
     step = make_fused_train_step(scfg, ropts, mcfg, optimizer,
                                  block_rays=block_rays, interpret=interpret,
                                  mesh=mesh, n_devices=n_devices,
-                                 occ_cfg=occ_cfg)
+                                 occ_cfg=occ_cfg, compute_dtype=compute_dtype)
 
     def train_scan(state: TrainState, streams: DeviceStreams, key,
                    occ_grid=None):

@@ -593,19 +593,24 @@ def train(cfg: Config, max_steps: Optional[int] = None, log_fn=print) -> TrainSt
                 # Interval-occupancy pruning rides the same step (phantom-
                 # sample trick — the same callable serves the unpruned warmup
                 # trace and the pruned one).
+                fused_dt = getattr(cfg, "mlp_fused_dtype", "float32")
                 if n_inner > 1:
                     train_step = make_fused_train_scan(
                         exp.scfg, exp.ropts, exp.model_cfg, optimizer,
                         n_inner=n_inner, mesh=mesh, n_devices=mesh.size,
-                        occ_cfg=occ_cfg,
+                        occ_cfg=occ_cfg, compute_dtype=fused_dt,
                     )
-                    phase(f"fused Pallas megastep selected ({n_inner}/dispatch)")
+                    phase(f"fused Pallas megastep selected ({n_inner}/dispatch"
+                          + (f", {fused_dt}" if fused_dt != "float32" else "")
+                          + ")")
                 else:
                     train_step = make_fused_train_step(
                         exp.scfg, exp.ropts, exp.model_cfg, optimizer,
                         mesh=mesh, n_devices=mesh.size, occ_cfg=occ_cfg,
+                        compute_dtype=fused_dt,
                     )
-                    phase("fused Pallas train step selected")
+                    phase("fused Pallas train step selected"
+                          + (f" ({fused_dt})" if fused_dt != "float32" else ""))
                 if occ_cfg is not None:
                     train_step_occ = train_step
                     phase(

@@ -280,3 +280,31 @@ def test_fused_train_kernel_phantom_sample_is_inert():
                                    atol=1e-5, rtol=1e-4)
     # the phantom's weight is exactly zero
     assert float(jnp.abs(metrics["weights"][:, -1]).max()) == 0.0
+
+
+@pytest.mark.slow  # deep parity/e2e depth: full suite only (fast gate = smoke+unit)
+def test_fused_train_kernel_bf16_compute_close_to_f32():
+    """compute_dtype=bfloat16 (the tcnn-fp16-analog mode, VERDICT r4 next #3):
+    same loss surface and gradients as f32 within bf16 matmul tolerance —
+    the compositing/loss math stays f32, so only the MLP dots lose bits."""
+    args = _setup()
+    params = args[0]
+    m32, g32 = fused_train_render_grads(
+        params, CFG, *args[1:], white_bkgd=True, block_rays=8, interpret=True,
+    )
+    m16, g16 = fused_train_render_grads(
+        params, CFG, *args[1:], white_bkgd=True, block_rays=8, interpret=True,
+        compute_dtype="bfloat16",
+    )
+    loss32 = float(m32["sq_rgb"] + m32["sq_disp"] + m32["sq_depth"])
+    loss16 = float(m16["sq_rgb"] + m16["sq_disp"] + m16["sq_depth"])
+    assert abs(loss16 - loss32) / max(abs(loss32), 1e-8) < 0.05
+    # gradient direction must agree (cosine) — magnitudes carry bf16 noise
+    from jax.flatten_util import ravel_pytree
+
+    v32, _ = ravel_pytree(g32)
+    v16, _ = ravel_pytree(g16)
+    cos = float(jnp.vdot(v32, v16) / (jnp.linalg.norm(v32) * jnp.linalg.norm(v16)))
+    assert cos > 0.99, cos
+    # grads must be f32 (f32 accumulation contract)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(g16))

@@ -289,3 +289,25 @@ def test_watchdog_restarts_stalled_trainer(tmp_path):
         log=lambda *a: None,
     )
     assert rc2 == wd.EXIT_BUDGET_EXHAUSTED
+    # crash path: a nonzero exit is relaunched (auto-resume protocol) and the
+    # second incarnation's clean exit is returned
+    att3 = tmp_path / "attempts3"
+    crashy = tmp_path / "crashy.py"
+    crashy.write_text(
+        "import os, sys\n"
+        f"att = {str(att3)!r}\n"
+        "n = int(open(att).read()) if os.path.exists(att) else 0\n"
+        "open(att, 'w').write(str(n + 1))\n"
+        "sys.exit(3 if n == 0 else 0)\n"
+    )
+    rc3 = wd.run_with_watchdog(
+        [sys.executable, str(crashy)],
+        progress_file=str(tmp_path / "p3.jsonl"),
+        stall_seconds=5.0,
+        grace_seconds=10.0,
+        cooldown_seconds=0.05,
+        max_restarts=2,
+        poll_seconds=0.1,
+        log=lambda *a: None,
+    )
+    assert rc3 == 0 and att3.read_text() == "2"

@@ -54,6 +54,7 @@ def run_with_watchdog(
     cooldown_seconds: float = 120.0,
     max_restarts: int = 6,
     poll_seconds: float = 5.0,
+    restart_on_crash: bool = True,
     log=print,
 ) -> int:
     """Run `cmd`, restarting it whenever `progress_file` stops advancing.
@@ -67,10 +68,18 @@ def run_with_watchdog(
         t_launch = time.time()
         baseline = _mtime(progress_file)
         child = subprocess.Popen(cmd, start_new_session=True)
-        stalled = False
+        crashed = False
         while True:
             rc = child.poll()
             if rc is not None:
+                if rc != 0 and restart_on_crash:
+                    # TPU-worker crashes exit nonzero; the trainer auto-
+                    # resumes from its newest checkpoint on relaunch (same
+                    # protocol as a stall kill). The restart budget bounds
+                    # deterministic-failure loops.
+                    log(f"[watchdog] child CRASHED rc={rc}")
+                    crashed = True
+                    break
                 log(f"[watchdog] child exited rc={rc}")
                 return rc
             time.sleep(poll_seconds)
@@ -88,22 +97,22 @@ def run_with_watchdog(
                 idle = now - t_launch
                 limit = grace_seconds
             if idle > limit:
-                stalled = True
                 break
-        # stall: SIGKILL the whole process group (SIGTERM is absorbed by the
-        # hung dispatch — observed in all three r4 hangs)
-        log(
-            f"[watchdog] STALL: no progress on {progress_file} for "
-            f"{idle:.0f}s (> {limit:.0f}s) — SIGKILL pg {child.pid}"
-        )
-        try:
-            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
-        except ProcessLookupError:
-            pass
-        try:
-            child.wait(timeout=60)
-        except subprocess.TimeoutExpired:
-            log("[watchdog] child did not reap within 60s; continuing")
+        if not crashed:
+            # stall: SIGKILL the whole process group (SIGTERM is absorbed by
+            # the hung dispatch — observed in all three r4 hangs)
+            log(
+                f"[watchdog] STALL: no progress on {progress_file} for "
+                f"{idle:.0f}s (> {limit:.0f}s) — SIGKILL pg {child.pid}"
+            )
+            try:
+                os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            try:
+                child.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                log("[watchdog] child did not reap within 60s; continuing")
         restarts += 1
         if restarts > max_restarts:
             log(f"[watchdog] restart budget ({max_restarts}) exhausted")
@@ -130,6 +139,8 @@ def main(argv=None) -> int:
     ap.add_argument("--cooldown-seconds", type=float, default=120.0)
     ap.add_argument("--max-restarts", type=int, default=6)
     ap.add_argument("--poll-seconds", type=float, default=5.0)
+    ap.add_argument("--no-restart-on-crash", action="store_true",
+                    help="only restart on stalls; let nonzero exits through")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- followed by the training command")
     args = ap.parse_args(argv)
@@ -146,6 +157,7 @@ def main(argv=None) -> int:
         cooldown_seconds=args.cooldown_seconds,
         max_restarts=args.max_restarts,
         poll_seconds=args.poll_seconds,
+        restart_on_crash=not args.no_restart_on_crash,
     )
 
 
