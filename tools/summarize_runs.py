@@ -28,7 +28,10 @@ def _read_args(expdir):
 
 
 def _read_metrics(expdir):
-    last, best_rate = None, None
+    """Returns (last record, sustained rays/s) — sustained = median of FRESH
+    window rates (rows flagged rate_stale repeat the last closed window and
+    are excluded; older runs without the flag dedup consecutive repeats)."""
+    last, rates, prev = None, [], None
     try:
         with open(os.path.join(expdir, "metrics.jsonl")) as fh:
             for line in fh:
@@ -38,11 +41,15 @@ def _read_metrics(expdir):
                     continue
                 last = rec
                 r = rec.get("rays_per_sec")
-                if r and (best_rate is None or r > best_rate):
-                    best_rate = r
+                if r and not rec.get("rate_stale") and r != prev:
+                    rates.append(r)
+                    prev = r
     except OSError:
         return None, None
-    return last, best_rate
+    if not rates:
+        return last, None
+    rates.sort()
+    return last, rates[len(rates) // 2]
 
 
 def summarize(basedir):
