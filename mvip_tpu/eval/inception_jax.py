@@ -55,7 +55,12 @@ class InceptionConfig:
 def _bconv_init(key, kh: int, kw: int, c_in: int, c_out: int) -> Dict[str, Any]:
     """BasicConv2d = bias-free conv + BN(eps=1e-3) + relu; weights HWIO."""
     w = jax.random.normal(key, (kh, kw, c_in, c_out), jnp.float32)
-    w = w * (0.1 / np.sqrt(kh * kw * c_in))
+    # He/fan-in init: variance-preserving through the conv+relu stack. The
+    # earlier 0.1/sqrt(fan_in) gain collapsed activations to ~1e-20 over the
+    # network's depth, making every random-init feature vector constant — a
+    # synthesized weights-day tree then measured FID 0.0 between ANY two
+    # image sets (r5 finding; real imported weights were never affected).
+    w = w * np.sqrt(2.0 / (kh * kw * c_in))
     return {
         "w": w,
         "scale": jnp.ones((c_out,), jnp.float32),

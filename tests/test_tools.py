@@ -153,6 +153,30 @@ def test_frechet_distance():
     np.testing.assert_allclose(d, 4.0, atol=1e-3)  # ||1||^2 over 4 dims
 
 
+def test_inception_init_preserves_activation_scale():
+    """Regression for the r5 weights-day finding: `_bconv_init`'s former
+    0.1/sqrt(fan_in) gain collapsed activations to ~1e-20 over InceptionV3's
+    depth, so the SYNTHESIZED dry-tree extractor mapped every image to the
+    same constant feature vector and FID measured 0.0 between any two image
+    sets. Pin the variance-preserving property on a 20-deep conv+BN+relu
+    stack built from the same primitive (cheap — the full net init alone
+    costs >1 min on this host)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvip_tpu.eval.inception_jax import _bconv, _bconv_init
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(key, 99), (1, 16, 16, 32))
+    for i in range(20):
+        p = _bconv_init(jax.random.fold_in(key, i), 3, 3, 32, 32)
+        x = _bconv(p, x, stride=1, pad=(1, 1))
+    s = float(jnp.std(x))
+    # relu halves the variance each layer relative to a linear stack; He
+    # init compensates. 20 layers of the old 0.1 gain land at ~1e-20.
+    assert 0.05 < s < 20.0, f"activation std collapsed/exploded: {s}"
+
+
 def test_generate_html_cli(tmp_path):
     import imageio.v2 as imageio
 
