@@ -273,7 +273,7 @@ def fused_train_render_grads(
     s_disp: jnp.ndarray,      # [R]
     s_depth: jnp.ndarray,     # [R]
     white_bkgd: bool = False,
-    block_rays: int = 16,
+    block_rays: int = 32,
     interpret: bool = False,
     compute_dtype: str = "float32",
 ) -> Tuple[Dict[str, jnp.ndarray], dict]:
@@ -287,7 +287,11 @@ def fused_train_render_grads(
     operands with f32 accumulation and stores saved activations in bf16 —
     the TPU analog of the reference's default fp16 FullyFusedMLP
     (`DS_NeRF/run_nerf_helpers_tcnn.py:48-60`). Compositing, loss math, and
-    gradient accumulation stay f32.
+    gradient accumulation stay f32. Measured r5 (tools/bench_fused_train.py):
+    bf16 is ~1.5% SLOWER end to end — XLA:TPU's DEFAULT-precision f32
+    matmul already issues single bf16 MXU passes, so the casts only add
+    VPU work; it stays an opt-in. block_rays=32 is the measured best
+    (67.7k vs 66.2k rays/s at 16; 64 fails to compile — VMEM).
     """
     N, S = z_vals.shape
     blk = min(block_rays, N)

@@ -89,7 +89,7 @@ def make_fused_train_step(
     ropts: RenderOptions,
     mcfg: NeRFMLPConfig,
     optimizer,
-    block_rays: int = 16,
+    block_rays: int = 32,
     interpret: bool = False,
     mesh=None,
     n_devices: int = 1,
@@ -342,7 +342,7 @@ def make_fused_train_scan(
     mcfg: NeRFMLPConfig,
     optimizer,
     n_inner: int = 10,
-    block_rays: int = 16,
+    block_rays: int = 32,
     interpret: bool = False,
     mesh=None,
     n_devices: int = 1,
